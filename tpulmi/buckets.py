@@ -1,0 +1,88 @@
+"""Bucket store: label-sorted CSR layout of the search-space vectors.
+
+The reference keeps buckets as a pandas ``groupby('category')`` over a
+DataFrame (`search/li/LearnedIndex.py:143-145`) and gathers each bucket's
+rows with ``.loc`` per probe. Here the store is three device arrays:
+
+- ``data_sorted``: the (normalized) search-space vectors permuted into
+  bucket-contiguous order — each bucket is one contiguous row range, so a
+  probe reads it with a ``dynamic_slice`` (static chunk size) instead of a
+  ragged gather;
+- ``ids_sorted``: the original 0-based row id of every sorted row;
+- ``offsets``/``counts``: CSR bucket boundaries.
+
+The arrays are padded by one chunk of sentinel rows so fixed-size chunked
+slices near the tail never read out of bounds. No per-bucket padding is
+stored — raggedness is handled at compute time by masking and by skipping
+whole chunks with ``lax.cond`` (see tpulmi/search.py).
+"""
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BucketStore:
+    """Device-resident bucket layout. `n` and `pad_rows` are static pytree
+    aux data so jitted consumers specialize on them."""
+
+    data_sorted: jnp.ndarray  # (n + pad_rows, d) search vectors, bucket-sorted
+    ids_sorted: jnp.ndarray   # (n + pad_rows,) int32 original row ids; -1 on padding
+    offsets: jnp.ndarray      # (n_categories + 1,) int32 CSR offsets
+    counts: jnp.ndarray       # (n_categories,) int32 bucket sizes
+    n: int = field(metadata=dict(static=True), default=0)
+    pad_rows: int = field(metadata=dict(static=True), default=0)
+
+    @property
+    def n_categories(self) -> int:
+        return int(self.counts.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.data_sorted.shape[1])
+
+
+def build_bucket_store(
+    labels,
+    data_search,
+    n_categories: int,
+    pad_rows: int = 4096,
+) -> BucketStore:
+    """Construct the store from per-row bucket labels (the *model's* argmax
+    assignment, matching the reference which buckets by predicted category,
+    not by the raw k-means labels — `search/li/LearnedIndex.py:67,240`)."""
+    labels = jnp.asarray(labels, jnp.int32)
+    data_search = jnp.asarray(data_search)
+    n, d = data_search.shape
+
+    order = jnp.argsort(labels, stable=True).astype(jnp.int32)
+    data_sorted = jnp.take(data_search, order, axis=0)
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), labels, num_segments=n_categories
+    ).astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+
+    data_sorted = jnp.pad(data_sorted, ((0, pad_rows), (0, 0)))
+    ids_sorted = jnp.pad(order, (0, pad_rows), constant_values=-1)
+
+    return BucketStore(
+        data_sorted=data_sorted,
+        ids_sorted=ids_sorted,
+        offsets=offsets,
+        counts=counts,
+        n=int(n),
+        pad_rows=int(pad_rows),
+    )
+
+
+def bucket_stats(store: BucketStore) -> Tuple[int, int, float]:
+    """(max, min, mean) bucket size — host sync; used for padding-class
+    selection and logging."""
+    counts = jax.device_get(store.counts)
+    return int(counts.max()), int(counts.min()), float(counts.mean())

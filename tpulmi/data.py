@@ -1,0 +1,173 @@
+"""Host-side data layer: dataset fetch/load, normalization, result writing.
+
+Covers the reference's `search/li/utils.py:46-97` (S3 download of the SISAP
+LAION subsets, SISAP result-format HDF5 writer) and the loading/normalization
+in `search/search.py:46-93`. I/O stays on the host (h5py); arrays are
+device-put once by the index layer.
+
+Also provides a synthetic clustered-dataset generator used by the test suite
+and the benchmark — the reference has no offline test data path at all (its
+CI downloads the real 300K subset; `.github/workflows/ci.yml:50-60`).
+"""
+
+import os
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from tpulmi.utils.logging import get_logger
+
+log = get_logger("tpulmi.data")
+
+SISAP_URL = "https://sisap-23-challenge.s3.amazonaws.com/SISAP23-Challenge"
+VALID_SIZES = ("100K", "300K", "10M", "30M", "100M")
+
+
+def normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    """L2-normalize rows (host-side, float32). Equivalent to
+    sklearn.preprocessing.normalize as used in `search/search.py:50-52`."""
+    x = np.asarray(x, dtype=np.float32)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(norms, eps)
+
+
+def download(src: str, dst: str) -> None:
+    """Fetch `src` to `dst` unless it already exists (reference
+    `search/li/utils.py:63-68`)."""
+    from urllib.request import urlretrieve
+
+    if not os.path.exists(dst):
+        os.makedirs(Path(dst).parent, exist_ok=True)
+        log.info("downloading %s -> %s", src, dst)
+        urlretrieve(src, dst)
+
+
+def prepare(kind: str, size: str, data_dir: str = "data") -> Dict[str, str]:
+    """Ensure the SISAP query + dataset h5 files for (kind, size) exist
+    locally; returns their paths (reference `search/li/utils.py:71-82`)."""
+    task = {
+        "query": f"{SISAP_URL}/public-queries-10k-{kind}.h5",
+        "dataset": f"{SISAP_URL}/laion2B-en-{kind}-n={size}.h5",
+    }
+    paths = {}
+    for version, url in task.items():
+        target = os.path.join(data_dir, kind, size, f"{version}.h5")
+        download(url, target)
+        if not os.path.exists(target):
+            raise FileNotFoundError(f"Failed to download {url}")
+        paths[version] = target
+    return paths
+
+
+def load_h5(path: str, key: str) -> np.ndarray:
+    """Load one dataset from an HDF5 file into host memory as float32."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return np.asarray(f[key], dtype=np.float32)
+
+
+def load_dataset(
+    kind: str,
+    key: str,
+    size: str,
+    data_dir: str = "data",
+    preprocess: bool = False,
+    fetch: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Load (dataset, queries) for a SISAP (kind, size) pair, optionally
+    L2-normalizing both (reference `search/search.py:46-52`)."""
+    if fetch:
+        prepare(kind, size, data_dir)
+    data = load_h5(os.path.join(data_dir, kind, size, "dataset.h5"), key)
+    queries = load_h5(os.path.join(data_dir, kind, size, "query.h5"), key)
+    if preprocess:
+        data = normalize(data)
+        queries = normalize(queries)
+    return data, queries
+
+
+def store_results(
+    dst: str,
+    algo: str,
+    kind: str,
+    dists: np.ndarray,
+    anns: np.ndarray,
+    buildtime: float,
+    querytime: float,
+    params: str,
+    size: str,
+) -> None:
+    """Write a SISAP-format result file — byte-compatible with the reference
+    writer (`search/li/utils.py:85-97`) so the upstream eval harness
+    (sisap-challenges/sisap23-laion-challenge-evaluation) works unchanged.
+    `anns` must already be 1-based."""
+    import h5py
+
+    os.makedirs(Path(dst).parent, exist_ok=True)
+    with h5py.File(dst, "w") as f:
+        f.attrs["algo"] = algo
+        f.attrs["data"] = kind
+        f.attrs["buildtime"] = buildtime
+        f.attrs["querytime"] = querytime
+        f.attrs["size"] = size
+        f.attrs["params"] = params
+        f.create_dataset("knns", anns.shape, dtype=anns.dtype)[:] = anns
+        f.create_dataset("dists", dists.shape, dtype=dists.dtype)[:] = dists
+
+
+def synthetic_dataset(
+    n: int,
+    n_queries: int,
+    d_nav: int = 96,
+    d_search: int = 768,
+    n_clusters: int = 122,
+    seed: int = 2023,
+    cluster_std: float = 0.9,
+    skew: float = 1.5,
+) -> Dict[str, np.ndarray]:
+    """Generate a clustered synthetic dataset shaped like the LAION subsets:
+    a low-dim navigation view and a high-dim search view of the same points,
+    both L2-normalized, with a skewed (Zipf-ish) cluster-size profile so the
+    ragged-bucket handling is exercised the way real k-means output would.
+
+    The two views are linked by a fixed random linear map so that proximity
+    in nav space correlates with proximity in search space (as PCA96 does
+    for clip768).
+    """
+    rng = np.random.default_rng(seed)
+    # Skewed cluster sizes.
+    weights = rng.random(n_clusters) ** skew
+    weights /= weights.sum()
+    assignments = rng.choice(n_clusters, size=n, p=weights)
+
+    centers_search = rng.normal(size=(n_clusters, d_search)).astype(np.float32)
+    centers_search /= np.linalg.norm(centers_search, axis=1, keepdims=True)
+
+    # `cluster_std` is the expected noise *norm* relative to the unit-norm
+    # centers (per-dim std scaled by 1/sqrt(d)), so cluster structure
+    # survives in high dimension.
+    noise_scale = cluster_std / np.sqrt(d_search)
+    data_search = centers_search[assignments] + noise_scale * rng.normal(
+        size=(n, d_search)
+    ).astype(np.float32)
+
+    # Navigation view: fixed random projection of the search view + noise.
+    proj = rng.normal(size=(d_search, d_nav)).astype(np.float32) / np.sqrt(d_search)
+    data_nav = data_search @ proj
+
+    # Queries: points near the data manifold.
+    q_assign = rng.choice(n_clusters, size=n_queries, p=weights)
+    queries_search = centers_search[q_assign] + noise_scale * rng.normal(
+        size=(n_queries, d_search)
+    ).astype(np.float32)
+    queries_nav = queries_search @ proj
+
+    return {
+        "data_nav": normalize(data_nav),
+        "data_search": normalize(data_search),
+        "queries_nav": normalize(queries_nav),
+        "queries_search": normalize(queries_search),
+        "cluster_assignments": assignments,
+    }

@@ -1,0 +1,258 @@
+"""LearnedIndex facade: build / search / save / load.
+
+The TPU-native equivalent of the reference's ``LearnedIndex``
+(`search/li/LearnedIndex.py:17-282`) with the same three-stage contract:
+
+- ``build(data_nav, data_search)``: k-means-partition the navigation
+  vectors, train the MLP bucket classifier on the partition, assign every
+  row to its *predicted* bucket (model argmax, exactly like the reference —
+  `search/li/LearnedIndex.py:67,240`), and lay the search-space vectors out
+  in the bucket-sorted device store.
+- ``search(queries_nav, queries_search, n_buckets, k)``: softmax-route each
+  query to its top-`n_buckets` buckets and run the batched exact rerank.
+- ``save(path)`` / ``load(path)``: orbax checkpoint of the whole built
+  index — a capability the reference only half has (pickle save with no
+  load path; `search/li/utils.py:46-60`, SURVEY.md §5).
+
+External ids are 1-based (SISAP convention, reference `search/search.py:72`);
+everything internal is 0-based.
+"""
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpulmi.buckets import BucketStore, build_bucket_store, bucket_stats
+from tpulmi.models.train import BucketClassifier
+from tpulmi.ops.distance import l2_normalize
+from tpulmi.ops.kmeans import kmeans
+from tpulmi.search import probe_search
+from tpulmi.utils.config import IndexConfig, SearchConfig
+from tpulmi.utils.logging import get_logger
+
+log = get_logger("tpulmi.index")
+
+
+@dataclass
+class BuiltIndex:
+    """Everything the query path needs, device-resident."""
+
+    centroids: jnp.ndarray
+    classifier: BucketClassifier
+    store: BucketStore
+    pred_categories: jnp.ndarray  # (N,) int32 model-argmax bucket per row
+    config: IndexConfig
+
+
+class LearnedIndex:
+    def __init__(self, config: IndexConfig = IndexConfig()):
+        self.config = config
+        self.built: Optional[BuiltIndex] = None
+
+    # ------------------------------------------------------------------ build
+    def build(
+        self,
+        data_nav,
+        data_search=None,
+        n_categories: Optional[int] = None,
+        epochs: Optional[int] = None,
+        lr: Optional[float] = None,
+        model_type: Optional[str] = None,
+    ) -> Tuple[np.ndarray, float]:
+        """Build the index. Returns (pred_categories, build_seconds) like the
+        reference's ``build`` (`search/li/LearnedIndex.py:197-240`).
+
+        `data_nav` is the navigation space (e.g. pca96); `data_search` the
+        rerank space (e.g. clip768), defaulting to `data_nav` when the two
+        coincide (reference `search/search.py:91-93`).
+        """
+        cfg = self.config
+        n_categories = n_categories or cfg.n_categories
+        epochs = epochs or cfg.epochs
+        lr = lr or cfg.lr
+        model_type = model_type or cfg.model_type
+
+        start = time.perf_counter()
+        data_nav = jax.device_put(jnp.asarray(data_nav, jnp.float32))
+
+        # ---- 1. partition (k-means on the MXU) ----
+        centroids, labels = kmeans(
+            data_nav,
+            n_categories,
+            iters=cfg.kmeans_iters,
+            seed=cfg.seed,
+            max_points_per_centroid=cfg.kmeans_max_points_per_centroid,
+        )
+        n_categories = int(centroids.shape[0]) if centroids is not None else 1
+        jax.block_until_ready(labels)
+        t_cluster = time.perf_counter() - start
+        log.info("k-means: %d clusters in %.3fs", n_categories, t_cluster)
+
+        # ---- 2. learn the partition ----
+        classifier = BucketClassifier(
+            input_dim=int(data_nav.shape[1]),
+            n_classes=n_categories,
+            lr=lr,
+            model_type=model_type,
+            seed=cfg.seed,
+        )
+        losses = classifier.train(
+            data_nav,
+            labels,
+            epochs=epochs,
+            batch_size=cfg.batch_size,
+            reference_step_semantics=cfg.reference_step_semantics,
+        )
+        jax.block_until_ready(losses)
+        t_train = time.perf_counter() - start - t_cluster
+        log.info(
+            "training: %d epochs in %.3fs (final loss %.4f)",
+            epochs, t_train, float(losses[-1]),
+        )
+
+        # ---- 3. bucket the search space by the model's own predictions ----
+        pred_categories = classifier.predict(data_nav)
+        if data_search is None:
+            data_search = data_nav
+        data_search = l2_normalize(
+            jax.device_put(jnp.asarray(data_search, jnp.float32))
+        )
+        store = build_bucket_store(pred_categories, data_search, n_categories)
+        jax.block_until_ready(store.data_sorted)
+        build_time = time.perf_counter() - start
+        mx, mn, mean = bucket_stats(store)
+        log.info(
+            "store: N=%d buckets=%d size max/mean/min=%d/%.0f/%d; build %.3fs",
+            store.n, n_categories, mx, mean, mn, build_time,
+        )
+
+        self.built = BuiltIndex(
+            centroids=centroids,
+            classifier=classifier,
+            store=store,
+            pred_categories=pred_categories,
+            config=cfg,
+        )
+        return np.asarray(jax.device_get(pred_categories)), build_time
+
+    # ----------------------------------------------------------------- search
+    def search(
+        self,
+        queries_nav,
+        queries_search=None,
+        n_buckets: int = 4,
+        k: int = 10,
+        search_config: Optional[SearchConfig] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """k-NN search probing the top-`n_buckets` routed buckets per query.
+        Returns (dists, anns) with **1-based** `anns`, shapes (Q, k) — the
+        reference's `search` contract (`search/li/LearnedIndex.py:22-101`).
+        `n_buckets=1` is the reference's `search_single` fast path."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        scfg = search_config or SearchConfig(k=k, n_buckets=n_buckets)
+        built = self.built
+
+        queries_nav = jnp.asarray(queries_nav, jnp.float32)
+        if queries_search is None:
+            queries_search = queries_nav
+        queries_search = l2_normalize(jnp.asarray(queries_search, jnp.float32))
+
+        n_buckets = min(n_buckets, built.store.n_categories)
+        _, probe_buckets = built.classifier.predict_proba(queries_nav, top=n_buckets)
+        dists, ids = probe_search(
+            probe_buckets,
+            queries_search,
+            built.store,
+            k=k,
+            data_chunk=scfg.data_chunk,
+            qpb_pad=scfg.queries_per_bucket_pad,
+        )
+        dists, ids = jax.device_get((dists, ids))
+        # empty result slots (id -1) keep the sentinel distance; clamp the id
+        # into range the way the reference edge-pads sub-k buckets
+        # (`search/li/LearnedIndex.py:174-190`).
+        ids = np.where(ids < 0, 0, ids)
+        return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, path: str) -> None:
+        """Checkpoint the built index (centroids, classifier params, bucket
+        store) with orbax. Unlike the reference's pickle-only save
+        (`search/li/utils.py:46-60`), this round-trips via `load`."""
+        if self.built is None:
+            raise ValueError("Nothing to save, call `build` first.")
+        import orbax.checkpoint as ocp
+
+        path = Path(path).absolute()
+        built = self.built
+        state = {
+            "centroids": built.centroids,
+            "params": built.classifier.params,
+            "pred_categories": built.pred_categories,
+            "store": {
+                "data_sorted": built.store.data_sorted,
+                "ids_sorted": built.store.ids_sorted,
+                "offsets": built.store.offsets,
+                "counts": built.store.counts,
+            },
+        }
+        meta = {
+            "config": built.config.to_dict(),
+            "input_dim": built.classifier.input_dim,
+            "n_classes": built.classifier.n_classes,
+            "model_type": built.classifier.model_type,
+            "store_n": built.store.n,
+            "store_pad_rows": built.store.pad_rows,
+            "version": 1,
+        }
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(path / "state", state, force=True)
+        ckpt.wait_until_finished()
+        with open(path / "meta.json", "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "LearnedIndex":
+        """Restore a saved index — the resume path the reference lacks."""
+        import orbax.checkpoint as ocp
+
+        path = Path(path).absolute()
+        with open(path / "meta.json") as f:
+            meta = json.load(f)
+        ckpt = ocp.StandardCheckpointer()
+        state = ckpt.restore(path / "state")
+
+        cfg = IndexConfig(**meta["config"])
+        index = cls(cfg)
+        classifier = BucketClassifier(
+            input_dim=meta["input_dim"],
+            n_classes=meta["n_classes"],
+            lr=cfg.lr,
+            model_type=meta["model_type"],
+            seed=cfg.seed,
+        )
+        classifier.params = jax.device_put(state["params"])
+        store = BucketStore(
+            data_sorted=jnp.asarray(state["store"]["data_sorted"]),
+            ids_sorted=jnp.asarray(state["store"]["ids_sorted"]),
+            offsets=jnp.asarray(state["store"]["offsets"]),
+            counts=jnp.asarray(state["store"]["counts"]),
+            n=int(meta["store_n"]),
+            pad_rows=int(meta["store_pad_rows"]),
+        )
+        index.built = BuiltIndex(
+            centroids=jnp.asarray(state["centroids"]),
+            classifier=classifier,
+            store=store,
+            pred_categories=jnp.asarray(state["pred_categories"]),
+            config=cfg,
+        )
+        return index

@@ -1,0 +1,4 @@
+from tpulmi.models.mlp import MLP, MODEL_HIDDEN_DIMS, make_model
+from tpulmi.models.train import BucketClassifier, TrainState
+
+__all__ = ["MLP", "MODEL_HIDDEN_DIMS", "make_model", "BucketClassifier", "TrainState"]

@@ -1,0 +1,165 @@
+"""On-device training and inference for the bucket classifier.
+
+Replaces the reference's torch ``NeuralNetwork`` train/predict wrapper
+(`search/li/model.py:114-229`). The whole training run — epochs, per-epoch
+shuffling, batching, Adam steps — is a single jitted ``lax.scan`` program:
+the dataset is device-put once and batches are formed by on-device gather of
+a shuffled index, so there are no host round-trips per step (the reference
+pays a Python DataLoader iteration per batch, `search/li/LearnedIndex.py:224-230`).
+
+The reference's ``train_batch`` applies exactly one optimizer step per epoch
+(on the last batch; every other forward is wasted — `search/li/model.py:186-198`).
+That behavior is reproducible with ``reference_step_semantics=True`` (one
+step per epoch on a random batch, which is what the buggy loop effectively
+does); the default trains properly with a step per batch.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from tpulmi.models.mlp import MLP, make_model
+from tpulmi.utils.logging import get_logger
+
+log = get_logger("tpulmi.models.train")
+
+
+@dataclass
+class TrainState:
+    params: FrozenDict
+    opt_state: optax.OptState
+    epoch_losses: jnp.ndarray  # (epochs,) mean CE loss per epoch
+
+
+def _make_train_fn(model: MLP, tx: optax.GradientTransformation,
+                   n: int, batch_size: int, epochs: int,
+                   reference_step_semantics: bool):
+    steps_per_epoch = 1 if reference_step_semantics else max(n // batch_size, 1)
+    eff_batch = min(batch_size, n)
+
+    def loss_fn(params, xb, yb):
+        logits = model.apply({"params": params}, xb)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
+
+    @jax.jit
+    def train_fn(params, opt_state, X, y, key):
+        def epoch_fn(carry, ekey):
+            params, opt_state = carry
+            perm = jax.random.permutation(ekey, n)
+            idx = perm[: steps_per_epoch * eff_batch].reshape(steps_per_epoch, eff_batch)
+
+            def step_fn(carry, batch_idx):
+                params, opt_state = carry
+                xb = jnp.take(X, batch_idx, axis=0)
+                yb = jnp.take(y, batch_idx, axis=0)
+                loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state), idx)
+            return (params, opt_state), losses.mean()
+
+        ekeys = jax.random.split(key, epochs)
+        (params, opt_state), epoch_losses = jax.lax.scan(
+            epoch_fn, (params, opt_state), ekeys
+        )
+        return params, opt_state, epoch_losses
+
+    return train_fn
+
+
+class BucketClassifier:
+    """Train/serve wrapper around the Flax MLP, analogous to the reference's
+    ``NeuralNetwork`` (`search/li/model.py:114`)."""
+
+    def __init__(
+        self,
+        input_dim: int,
+        n_classes: int,
+        lr: float = 0.009,
+        model_type: str = "MLP",
+        seed: int = 2023,
+        compute_dtype=jnp.float32,
+    ):
+        self.model = make_model(model_type, n_classes, compute_dtype=compute_dtype)
+        self.model_type = model_type
+        self.input_dim = input_dim
+        self.n_classes = n_classes
+        self.lr = lr
+        self.seed = seed
+        self.tx = optax.adam(lr)
+        key = jax.random.PRNGKey(seed)
+        variables = self.model.init(key, jnp.zeros((1, input_dim), jnp.float32))
+        self.params = variables["params"]
+        self.opt_state = self.tx.init(self.params)
+
+    def train(
+        self,
+        X,
+        y,
+        epochs: int = 100,
+        batch_size: int = 256,
+        reference_step_semantics: bool = False,
+    ) -> jnp.ndarray:
+        """Train on the full dataset; returns per-epoch mean losses."""
+        X = jnp.asarray(X, jnp.float32)
+        y = jnp.asarray(y, jnp.int32)
+        n = int(X.shape[0])
+        train_fn = _make_train_fn(
+            self.model, self.tx, n, batch_size, epochs, reference_step_semantics
+        )
+        key = jax.random.PRNGKey(self.seed + 1)
+        self.params, self.opt_state, losses = train_fn(
+            self.params, self.opt_state, X, y, key
+        )
+        return losses
+
+    @partial(jax.jit, static_argnames=("self", "chunk"))
+    def _predict_chunked(self, params, X, chunk: int):
+        n, d = X.shape
+        n_chunks = (n + chunk - 1) // chunk
+        X_pad = jnp.pad(X, ((0, n_chunks * chunk - n), (0, 0)))
+
+        def body(_, i):
+            block = jax.lax.dynamic_slice(X_pad, (i * chunk, 0), (chunk, d))
+            logits = self.model.apply({"params": params}, block)
+            return None, jnp.argmax(logits, axis=1).astype(jnp.int32)
+
+        _, out = jax.lax.scan(body, None, jnp.arange(n_chunks))
+        return out.reshape(-1)[:n]
+
+    def predict(self, X, chunk: int = 131072) -> jnp.ndarray:
+        """Argmax bucket for every row (used for the build-time bucket
+        assignment, reference `search/li/model.py:201-212`)."""
+        X = jnp.asarray(X, jnp.float32)
+        chunk = min(chunk, max(128, int(X.shape[0])))
+        return self._predict_chunked(self.params, X, chunk)
+
+    @partial(jax.jit, static_argnames=("self", "top"))
+    def _predict_proba_top(self, params, X, top: int):
+        logits = self.model.apply({"params": params}, X)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, top)
+        return top_p, top_i.astype(jnp.int32)
+
+    def predict_proba(self, X, top: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Softmax bucket ranking per query. Unlike the reference — which
+        ranks *all* buckets (`search/li/model.py:226-227`) — only the `top`
+        buckets that will actually be probed are ranked (`lax.top_k`)."""
+        X = jnp.asarray(X, jnp.float32)
+        if top is None:
+            top = self.n_classes
+        return self._predict_proba_top(self.params, X, top)
+
+    # hashable-static support so the jitted methods can take `self` static
+    def __hash__(self):
+        return hash((id(self),))
+
+    def __eq__(self, other):
+        return self is other

@@ -1,0 +1,69 @@
+"""Configuration dataclasses for tpulmi.
+
+Mirrors the knobs of the reference CLI (`search/search.py:169-233`): dataset
+pair, number of categories/leaves, epochs, learning rate, model architecture,
+probe budget (as a percentage of categories, like the reference's ``-bp``
+flag), and k. Defaults are the published 10M configuration
+(`/root/reference/README.md:25-30`): 122 leaves, 205 "epochs", lr 0.009,
+MLP-5, bp=4.
+"""
+
+from dataclasses import dataclass, field, asdict
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Build-time configuration of the learned index."""
+
+    n_categories: int = 122
+    epochs: int = 205
+    lr: float = 0.009
+    model_type: str = "MLP-5"
+    batch_size: int = 256
+    seed: int = 2023
+
+    # K-means (replaces faiss.Kmeans defaults: 25 Lloyd iterations, training
+    # subsampled to 256 points per centroid — faiss Clustering defaults).
+    kmeans_iters: int = 25
+    kmeans_max_points_per_centroid: int = 256
+
+    # Numerics. Matmuls run in this dtype on the MXU with f32 accumulation.
+    compute_dtype: str = "float32"
+
+    # The reference's `train_batch` only applies one optimizer step per epoch
+    # (on the final batch — `search/li/model.py:186-198`). We train properly
+    # (a step per batch) by default; set True to mimic the reference's
+    # behavior for apples-to-apples validation (see SURVEY.md §3.6).
+    reference_step_semantics: bool = False
+
+    # When `reference_step_semantics` is False, `epochs` is reinterpreted as
+    # a total *optimizer step* budget multiplier; see models/train.py.
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Query-time configuration."""
+
+    k: int = 10
+    n_buckets: int = 4  # number of probed buckets (reference: bp% of n_categories)
+    # Static padding knobs for the batched probe pipeline. `None` → derived
+    # from the routing result at call time (rounded up to a size class so the
+    # jitted pipeline is compiled only a handful of times).
+    queries_per_bucket_pad: Optional[int] = None
+    data_chunk: int = 2048  # rows of a bucket processed per inner-scan step
+    batch_queries: Optional[int] = None  # split very large query sets
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+def n_buckets_from_percentage(bp: List[int], n_categories: int) -> List[int]:
+    """Reference `-bp` semantics: percent of n_categories, floored, deduped,
+    zero-dropped (`search/search.py:37-38`). bp=4, 122 cats → 4 buckets;
+    bp=6 → 7 buckets."""
+    buckets = [int((b / 100) * n_categories) for b in bp]
+    return sorted(set(b for b in buckets if b > 0))
