@@ -1,0 +1,59 @@
+"""Host I/O: SISAP result format, normalization, synthetic data contract."""
+
+import numpy as np
+
+from tpulmi.baseline import Baseline
+from tpulmi.data import normalize, store_results, synthetic_dataset
+from tpulmi.ops.distance import exact_knn
+
+
+def test_store_results_sisap_format(tmp_path, rng):
+    import h5py
+
+    dists = rng.random((10, 5)).astype(np.float32)
+    anns = rng.integers(1, 100, size=(10, 5)).astype(np.int64)
+    dst = tmp_path / "res" / "out.h5"
+    store_results(str(dst), "Learned-index", "pca96v2", dists, anns, 1.5, 0.25,
+                  "id-string", "300K")
+    with h5py.File(dst, "r") as f:
+        assert f.attrs["algo"] == "Learned-index"
+        assert f.attrs["data"] == "pca96v2"
+        assert f.attrs["buildtime"] == 1.5
+        assert f.attrs["querytime"] == 0.25
+        assert f.attrs["size"] == "300K"
+        assert f.attrs["params"] == "id-string"
+        np.testing.assert_array_equal(f["knns"][:], anns)
+        np.testing.assert_allclose(f["dists"][:], dists)
+
+
+def test_normalize(rng):
+    x = rng.normal(size=(20, 6)) * 7
+    n = normalize(x)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-6)
+
+
+def test_synthetic_dataset_contract():
+    ds = synthetic_dataset(n=500, n_queries=20, d_nav=8, d_search=24, n_clusters=5,
+                           seed=1)
+    assert ds["data_nav"].shape == (500, 8)
+    assert ds["data_search"].shape == (500, 24)
+    assert ds["queries_nav"].shape == (20, 8)
+    assert ds["queries_search"].shape == (20, 24)
+    for key in ("data_nav", "data_search", "queries_nav", "queries_search"):
+        np.testing.assert_allclose(
+            np.linalg.norm(ds[key], axis=1), 1.0, atol=1e-5
+        )
+    assert ds["cluster_assignments"].min() >= 0
+    assert ds["cluster_assignments"].max() < 5
+
+
+def test_baseline_matches_numpy_and_is_one_based(rng):
+    data = rng.normal(size=(200, 12)).astype(np.float32)
+    queries = rng.normal(size=(15, 12)).astype(np.float32)
+    b = Baseline()
+    assert b.build(data) >= 0
+    dists, nns, t = b.search(queries, k=5)
+    assert nns.min() >= 1 and nns.max() <= 200
+    want_d, want_i = exact_knn(queries, data, k=5)
+    np.testing.assert_allclose(dists, np.asarray(want_d), atol=1e-6)
+    np.testing.assert_array_equal(nns, np.asarray(want_i) + 1)
