@@ -1,0 +1,95 @@
+"""Multi-chip paths on an 8-device virtual CPU mesh: sharded search must
+equal the single-chip pipeline's k-set; DP training must run and reduce loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tpulmi.buckets import build_bucket_store
+from tpulmi.models.mlp import make_model
+from tpulmi.ops.distance import exact_knn
+from tpulmi.parallel.mesh import make_mesh
+from tpulmi.parallel.sharded import (
+    make_dp_train_step,
+    shard_store,
+    sharded_probe_search,
+)
+from tpulmi.search import probe_search
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8, ("buckets",))
+
+
+def _setup(rng, n=3000, d=16, c=22, q=48):
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(q, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+    store = build_bucket_store(labels, data, c)
+    return data, queries, labels, store
+
+
+def test_sharded_probe_all_equals_exact(rng, mesh8):
+    data, queries, labels, store = _setup(rng)
+    sstore = shard_store(store, 8)
+    probes = np.tile(np.arange(store.n_categories, dtype=np.int32),
+                     (queries.shape[0], 1))
+    dists, ids = sharded_probe_search(probes, queries, sstore, mesh8, k=10)
+    want_d, _ = exact_knn(queries, data, k=10, normalized=True)
+    np.testing.assert_allclose(np.asarray(dists), np.asarray(want_d), atol=1e-5)
+    chosen = 1.0 - np.einsum("qkd,qd->qk", data[np.asarray(ids)], queries)
+    np.testing.assert_allclose(chosen, np.asarray(want_d), atol=1e-5)
+
+
+def test_sharded_matches_single_chip(rng, mesh8):
+    data, queries, labels, store = _setup(rng)
+    sstore = shard_store(store, 8)
+    probes = np.stack(
+        [rng.permutation(store.n_categories)[:5] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    d_single, i_single = probe_search(probes, queries, store, k=10)
+    d_shard, i_shard = sharded_probe_search(probes, queries, sstore, mesh8, k=10)
+    np.testing.assert_allclose(
+        np.asarray(d_shard), np.asarray(d_single), atol=1e-5
+    )
+
+
+def test_shard_store_partition(rng):
+    data, queries, labels, store = _setup(rng, c=10)
+    sstore = shard_store(store, 4)
+    assert sstore.n_shards == 4
+    assert sstore.cat_pad == 3  # ceil(10/4)
+    # all real rows present exactly once across shards
+    all_ids = np.asarray(sstore.ids_sorted).reshape(-1)
+    real = np.sort(all_ids[all_ids >= 0])
+    np.testing.assert_array_equal(real, np.arange(data.shape[0]))
+    # per-shard counts match the global ones
+    counts = np.asarray(store.counts)
+    cnts = np.asarray(sstore.counts)
+    for s in range(4):
+        lo, hi = 3 * s, min(3 * (s + 1), 10)
+        np.testing.assert_array_equal(cnts[s, : hi - lo], counts[lo:hi])
+
+
+def test_dp_train_step(rng, mesh8):
+    model = make_model("MLP-5", n_classes=6)
+    tx = optax.adam(1e-2)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)))["params"]
+    opt_state = tx.init(params)
+    step = make_dp_train_step(model, tx, make_mesh(8, ("data",)))
+
+    centers = 3.0 * rng.normal(size=(6, 16)).astype(np.float32)
+    y = rng.integers(0, 6, size=1024).astype(np.int32)
+    x = centers[y] + 0.3 * rng.normal(size=(1024, 16)).astype(np.float32)
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5

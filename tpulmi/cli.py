@@ -1,0 +1,198 @@
+"""Experiment driver CLI — the tpulmi equivalent of `search/search.py`.
+
+Flag-for-flag mirror of the reference's argparse surface
+(`search/search.py:169-233`): dataset pair, size whitelist, k, categories,
+epochs, model type, lr, percent-based ``-bp`` probe budget, preprocess, save.
+Defaults are the published 10M configuration. Differences, on purpose:
+
+- ``--preprocess``/``--save`` take true/false properly (the reference uses
+  ``type=bool`` so ``--preprocess=False`` parses as True —
+  `search/search.py:219-230`, SURVEY.md §3.6);
+- ``--model-type`` actually reaches training (the reference drops it on the
+  floor and always trains 'MLP' — `search/search.py:97-102` vs
+  `search/li/LearnedIndex.py:197`);
+- ``--synthetic N`` runs the full pipeline offline on the synthetic
+  clustered dataset (no S3 download), reporting recall against the exact
+  oracle;
+- ``--load/--save-index`` round-trip the orbax checkpoint (the reference
+  can only pickle-save).
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from tpulmi.baseline import Baseline
+from tpulmi.data import load_dataset, store_results, synthetic_dataset
+from tpulmi.index import LearnedIndex
+from tpulmi.utils.config import IndexConfig, n_buckets_from_percentage
+from tpulmi.utils.logging import get_logger
+
+log = get_logger("tpulmi.cli")
+
+SIZES = ["100K", "300K", "10M", "30M", "100M"]
+
+
+def _str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def run(
+    kind: str = "pca96v2",
+    key: str = "pca96",
+    size: str = "10M",
+    k: int = 10,
+    index_type: str = "learned-index",
+    buckets_perc=(4,),
+    n_categories: int = 122,
+    epochs: int = 205,
+    model_type: str = "MLP-5",
+    lr: float = 0.009,
+    preprocess: bool = True,
+    save: bool = False,
+    synthetic: int = 0,
+    data_dir: str = "data",
+    result_dir: str = "result",
+    save_index: str = "",
+):
+    """Run build + search over each probe budget, writing SISAP result files
+    (mirrors the reference's `run`, `search/search.py:23-166`)."""
+    n_buckets_list = n_buckets_from_percentage(list(buckets_perc), n_categories)
+    log.info(
+        "run: kind=%s key=%s size=%s k=%d index=%s buckets=%s categories=%d "
+        "epochs=%d lr=%g model=%s preprocess=%s",
+        kind, key, size, k, index_type, n_buckets_list, n_categories,
+        epochs, lr, model_type, preprocess,
+    )
+
+    # ---- data ----
+    if synthetic:
+        ds = synthetic_dataset(n=synthetic, n_queries=10_000 if synthetic >= 100_000
+                               else max(synthetic // 30, 10),
+                               n_clusters=n_categories)
+        data_nav, queries_nav = ds["data_nav"], ds["queries_nav"]
+        data_search, queries_search = ds["data_search"], ds["queries_search"]
+        kind = f"synthetic-{synthetic}"
+    else:
+        data_nav, queries_nav = load_dataset(
+            kind, key, size, data_dir, preprocess=preprocess
+        )
+        kind_search, key_search = "clip768v2", "emb"
+        if kind != kind_search:
+            data_search, queries_search = load_dataset(
+                kind_search, key_search, size, data_dir, preprocess=False
+            )
+        else:
+            data_search, queries_search = data_nav, queries_nav
+    log.info("data: nav %s, search %s, queries %s",
+             data_nav.shape, data_search.shape, queries_nav.shape)
+
+    if index_type == "baseline":
+        baseline = Baseline()
+        build_t = baseline.build(data_search)
+        dists, nns, search_t = baseline.search(queries_search, k=k)
+        log.info("baseline search: %.3fs", search_t)
+        _store(result_dir, kind, size, "li-baseline", "li-baseline",
+               dists, nns, build_t, search_t)
+        return
+
+    if index_type != "learned-index":
+        raise ValueError(f"Unknown index type: {index_type}")
+
+    cfg = IndexConfig(
+        n_categories=n_categories, epochs=epochs, lr=lr, model_type=model_type
+    )
+    li = LearnedIndex(cfg)
+    _, build_t = li.build(data_nav, data_search)
+    log.info("build time: %.1fs", build_t)
+
+    if save_index:
+        li.save(save_index)
+        log.info("index checkpoint saved to %s", save_index)
+    if save:
+        # legacy-style save location mirroring `search/search.py:107-113`
+        path = (
+            f"./models/{kind}-{size}-ep={epochs}-lr={lr}-cat={n_categories}"
+            f"-model={model_type}-prep={preprocess}"
+        )
+        li.save(path)
+        log.info("index checkpoint saved to %s", path)
+
+    for n_buckets in n_buckets_list:
+        start = time.perf_counter()
+        dists, nns = li.search(queries_nav, queries_search, n_buckets=n_buckets, k=k)
+        search_t = time.perf_counter() - start
+        log.info("search with %d buckets: %.3fs (%.0f q/s)",
+                 n_buckets, search_t, queries_nav.shape[0] / search_t)
+        identifier = (
+            f"learned-index-{kind}-{size}-ep={epochs}-lr={lr}-cat="
+            f"{n_categories}-model={model_type}-buck={n_buckets}"
+        )
+        _store(result_dir, kind, size, identifier, "Learned-index",
+               dists, nns, build_t, search_t)
+        if synthetic:
+            _, gt, _ = Baseline().search(queries_search, data_search, k=k)
+            recall = np.mean([
+                len(set(nns[i]) & set(gt[i])) / k for i in range(nns.shape[0])
+            ])
+            log.info("recall@%d vs exact oracle: %.4f", k, recall)
+
+
+def _store(result_dir, kind, size, identifier, algo, dists, nns,
+           build_t, search_t):
+    dst = os.path.join(result_dir, kind, size, f"{identifier}.h5")
+    store_results(dst, algo, kind, dists, nns, build_t, search_t,
+                  identifier, size)
+    log.info("results stored: %s", dst)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dataset", default="pca96v2")
+    parser.add_argument("--emb", default="pca96")
+    parser.add_argument("--size", default="10M", choices=SIZES)
+    parser.add_argument("--k", default=10, type=int)
+    parser.add_argument("--n-categories", default=122, type=int,
+                        help="Number of categories (= buckets) to create")
+    parser.add_argument("--epochs", default=205, type=int)
+    parser.add_argument("--model-type", default="MLP-5")
+    parser.add_argument("--lr", default=0.009, type=float)
+    parser.add_argument("-bp", "--buckets-perc", nargs="+", default=[4], type=int,
+                        help="Percent of categories to probe (reference semantics)")
+    parser.add_argument("--preprocess", default=True, type=_str2bool,
+                        help="L2-normalize navigation data")
+    parser.add_argument("--save", default=False, type=_str2bool)
+    parser.add_argument("--index-type", default="learned-index",
+                        choices=["learned-index", "baseline"])
+    parser.add_argument("--synthetic", default=0, type=int,
+                        help="Run on N synthetic rows instead of downloading LAION")
+    parser.add_argument("--data-dir", default="data")
+    parser.add_argument("--result-dir", default="result")
+    parser.add_argument("--save-index", default="",
+                        help="Directory for an orbax checkpoint of the built index")
+    args = parser.parse_args(argv)
+
+    run(
+        kind=args.dataset,
+        key=args.emb,
+        size=args.size,
+        k=args.k,
+        index_type=args.index_type,
+        buckets_perc=args.buckets_perc,
+        n_categories=args.n_categories,
+        epochs=args.epochs,
+        model_type=args.model_type,
+        lr=args.lr,
+        preprocess=args.preprocess,
+        save=args.save,
+        synthetic=args.synthetic,
+        data_dir=args.data_dir,
+        result_dir=args.result_dir,
+        save_index=args.save_index,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Multi-chip execution: bucket-sharded search and data-parallel training.
+
+The reference's only parallelism is a PBS hyperparameter sweep
+(`search/run-multiple.sh:11-34`); there is no distributed search or training
+(SURVEY.md §2.3). Here:
+
+**Bucket-sharded search** (the expert-parallel analog — the MLP is the
+router, buckets are the experts): the bucket store is partitioned into
+contiguous bucket ranges, one per mesh slice along the ``"buckets"`` axis.
+Queries and probe assignments are replicated. Under ``shard_map`` each chip
+remaps global probe bucket ids into its local range (non-local probes fall
+out of range and are dropped by the pipeline's segment ops), runs the same
+single-chip probe pipeline on its shard, and contributes a partial top-k;
+an ``all_gather`` over the axis followed by one more ``lax.top_k`` merges
+per-chip candidates into the global answer. All collectives ride ICI.
+
+**Data-parallel training**: one jitted Adam step with the batch sharded
+along ``"data"`` and parameters replicated; XLA inserts the gradient psum.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpulmi.buckets import BucketStore
+from tpulmi.search import _probe_search_impl, size_class
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedBucketStore:
+    """Bucket store partitioned over contiguous bucket ranges; the leading
+    axis of every array is the shard axis (length n_shards)."""
+
+    data_sorted: jnp.ndarray    # (S, rows_pad, d)
+    ids_sorted: jnp.ndarray     # (S, rows_pad) int32 global ids; -1 padding
+    offsets: jnp.ndarray        # (S, cat_pad + 1) int32 local CSR
+    counts: jnp.ndarray         # (S, cat_pad) int32
+    bucket_start: jnp.ndarray   # (S, 1) int32 first global bucket id of shard
+    n_shards: int = field(metadata=dict(static=True), default=1)
+    cat_pad: int = field(metadata=dict(static=True), default=0)
+    rows: int = field(metadata=dict(static=True), default=0)
+    pad_rows: int = field(metadata=dict(static=True), default=0)
+
+
+def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
+    """Partition a built store into `n_shards` contiguous bucket ranges.
+
+    Contiguous ranges keep the remap trivial (local = global − start); the
+    per-shard row counts are padded to the max so the stacked array is
+    rectangular. Bucket-size skew across shards costs only HBM padding, not
+    FLOPs (empty tail buckets have count 0 and are skipped).
+    """
+    n_cat = store.n_categories
+    cat_pad = -(-n_cat // n_shards)  # buckets per shard (last may be short)
+
+    offsets = np.asarray(jax.device_get(store.offsets))
+    counts = np.asarray(jax.device_get(store.counts))
+    data_sorted = store.data_sorted
+    ids_sorted = store.ids_sorted
+    d = store.dim
+
+    shard_rows = []
+    for s in range(n_shards):
+        lo = min(s * cat_pad, n_cat)
+        hi = min((s + 1) * cat_pad, n_cat)
+        shard_rows.append(int(offsets[hi] - offsets[lo]))
+    rows = max(max(shard_rows), 1)
+    pad_rows = store.pad_rows
+    rows_pad = rows + pad_rows
+
+    data_shards = np.zeros((n_shards, rows_pad, d), dtype=np.asarray(
+        jax.device_get(data_sorted[:1])).dtype)
+    ids_shards = np.full((n_shards, rows_pad), -1, dtype=np.int32)
+    off_shards = np.zeros((n_shards, cat_pad + 1), dtype=np.int32)
+    cnt_shards = np.zeros((n_shards, cat_pad), dtype=np.int32)
+    starts = np.zeros((n_shards, 1), dtype=np.int32)
+
+    data_host = np.asarray(jax.device_get(data_sorted))
+    ids_host = np.asarray(jax.device_get(ids_sorted))
+
+    for s in range(n_shards):
+        lo = min(s * cat_pad, n_cat)
+        hi = min((s + 1) * cat_pad, n_cat)
+        row_lo, row_hi = int(offsets[lo]), int(offsets[hi])
+        nrows = row_hi - row_lo
+        data_shards[s, :nrows] = data_host[row_lo:row_hi]
+        ids_shards[s, :nrows] = ids_host[row_lo:row_hi]
+        local_counts = counts[lo:hi]
+        cnt_shards[s, : hi - lo] = local_counts
+        off_shards[s, 1:] = np.cumsum(
+            np.pad(local_counts, (0, cat_pad - (hi - lo)))
+        )
+        starts[s, 0] = lo
+
+    return ShardedBucketStore(
+        data_sorted=jnp.asarray(data_shards),
+        ids_sorted=jnp.asarray(ids_shards),
+        offsets=jnp.asarray(off_shards),
+        counts=jnp.asarray(cnt_shards),
+        bucket_start=jnp.asarray(starts),
+        n_shards=n_shards,
+        cat_pad=cat_pad,
+        rows=rows,
+        pad_rows=pad_rows,
+    )
+
+
+def sharded_probe_search(
+    probe_buckets,
+    queries_search,
+    sstore: ShardedBucketStore,
+    mesh: Mesh,
+    k: int = 10,
+    data_chunk: int = 2048,
+    qpb_pad: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bucket-sharded probe search over `mesh` (1-D, axis "buckets").
+
+    Returns (dists, ids) like `tpulmi.search.probe_search` (0-based ids).
+    Each chip searches only its bucket range; partial top-k candidates are
+    all-gathered and re-merged. The final merge breaks distance ties by
+    shard-then-rank order instead of pure probe-rank order — the k-set is
+    identical, the tie order may differ from single-chip.
+    """
+    axis = mesh.axis_names[0]
+    probe_buckets = jnp.asarray(probe_buckets, jnp.int32)
+    queries_search = jnp.asarray(queries_search)
+
+    # static padding classes (one host sync per call, like probe_search)
+    n_cat_total = sstore.cat_pad * sstore.n_shards
+    slots = probe_buckets.reshape(-1)
+    slot_counts = jax.ops.segment_sum(
+        jnp.ones_like(slots), slots, num_segments=n_cat_total
+    )
+    max_slots = int(jax.device_get(slot_counts.max()))
+    max_bucket = int(jax.device_get(sstore.counts.max()))
+    data_chunk = min(data_chunk, size_class(max(max_bucket, 1)), sstore.pad_rows)
+    if qpb_pad is None:
+        qpb_pad = size_class(max(max_slots, 1))
+    max_chunks = max(-(-max_bucket // data_chunk), 1)
+
+    cat_pad = sstore.cat_pad
+
+    def local_search(probes, queries, data_s, ids_s, offs, cnts, start):
+        # remap global bucket ids into this shard's local range; non-local
+        # probes fall outside [0, cat_pad) and are dropped by the pipeline's
+        # segment ops (out-of-range scatter indices drop; see tests).
+        local = probes - start[0, 0]
+        local = jnp.where((local >= 0) & (local < cat_pad), local, cat_pad)
+        local_store = BucketStore(
+            data_sorted=data_s[0],
+            ids_sorted=ids_s[0],
+            offsets=offs[0],
+            counts=cnts[0],
+            n=sstore.rows,
+            pad_rows=sstore.pad_rows,
+        )
+        part_d, part_i = _probe_search_impl(
+            local,
+            queries,
+            local_store,
+            k=k,
+            qpb_pad=qpb_pad,
+            data_chunk=data_chunk,
+            max_chunks=max_chunks,
+        )
+        # (Q, k) partial per chip → gather all chips' candidates and merge.
+        all_d = jax.lax.all_gather(part_d, axis)  # (S, Q, k)
+        all_i = jax.lax.all_gather(part_i, axis)
+        s, q, _ = all_d.shape
+        cat_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * k)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * k)
+        neg_top, arg_top = jax.lax.top_k(-cat_d, k)
+        return -neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1)
+
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P(),            # probes replicated
+            P(),            # queries replicated
+            P(axis),        # store shards
+            P(axis),
+            P(axis),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        probe_buckets,
+        queries_search,
+        sstore.data_sorted,
+        sstore.ids_sorted,
+        sstore.offsets,
+        sstore.counts,
+        sstore.bucket_start,
+    )
+
+
+def make_dp_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
+    """Build a jitted data-parallel train step: batch sharded along the mesh
+    axis, params/opt-state replicated, gradient psum inserted by XLA."""
+    axis = mesh.axis_names[0]
+    batch_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, xb, yb):
+        logits = model.apply({"params": params}, xb)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, batch_sharding, batch_sharding),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    def step(params, opt_state, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
