@@ -1,0 +1,128 @@
+"""tpulmi benchmark — the reference's 300K headline workload shape on TPU.
+
+Reference numbers (`/root/reference/README.md:33-35`, BASELINE.md): LAION-300K,
+122 leaves, MLP(256,128), bp=6 → 7 probed buckets, 10k queries, k=10 on one
+EPYC core: search 22.08 s (453 QPS), build 789.06 s, recall@10 91.1 %.
+
+This benchmark runs the identical workload shape — 300K corpus, 96-d
+navigation + 768-d search embeddings, 122 buckets, 7 probes, 10k queries —
+on synthetic clustered data (the real LAION subsets need S3 access; this
+environment has no egress). Difficulty is calibrated so the learned index
+operates in the same recall regime (~0.9+ @ 7/122 probes). Recall is
+measured against the exact brute-force oracle on the same data and is
+printed alongside; a run that fails the recall gate reports vs_baseline=0.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "queries/s", "vs_baseline": x vs 453 QPS, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Persistent compilation cache: the remote-compile path of this environment
+# costs 10-40 s per program; the cache drops warm-process compiles to ~0.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from tpulmi.data import synthetic_dataset  # noqa: E402
+from tpulmi.index import LearnedIndex  # noqa: E402
+from tpulmi.ops.distance import exact_knn  # noqa: E402
+from tpulmi.utils.config import IndexConfig  # noqa: E402
+
+# ---- reference workload shape (300K config) ----
+N = 300_000
+N_QUERIES = 10_000
+D_NAV = 96
+D_SEARCH = 768
+N_CATEGORIES = 122
+N_PROBES = 7          # reference bp=6 → int(0.06*122) = 7 probed buckets
+K = 10
+SEED = 2023
+
+REF_SEARCH_S = 22.08  # reference search wall-clock for the same workload
+REF_QPS = N_QUERIES / REF_SEARCH_S
+REF_BUILD_S = 789.06
+RECALL_GATE = 0.90
+
+
+def _ground_truth(ds, cache_dir=".bench_cache"):
+    """Exact oracle k-NN, cached on disk (deterministic synthetic data)."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(
+        cache_dir, f"gt_n{N}_q{N_QUERIES}_d{D_SEARCH}_s{SEED}_k{K}.npz"
+    )
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["ids"]
+    _, ids = exact_knn(ds["queries_search"], ds["data_search"], k=K,
+                       normalized=True)
+    ids = np.asarray(jax.device_get(ids)) + 1  # 1-based like the index output
+    np.savez_compressed(path, ids=ids)
+    return ids
+
+
+def main():
+    t_gen = time.perf_counter()
+    ds = synthetic_dataset(
+        n=N, n_queries=N_QUERIES, d_nav=D_NAV, d_search=D_SEARCH,
+        n_clusters=N_CATEGORIES, seed=SEED,
+    )
+    t_gen = time.perf_counter() - t_gen
+
+    cfg = IndexConfig(
+        n_categories=N_CATEGORIES, epochs=12, lr=0.003, model_type="MLP-5",
+        batch_size=1024, seed=SEED,
+    )
+    li = LearnedIndex(cfg)
+    t_build = time.perf_counter()
+    li.build(ds["data_nav"], ds["data_search"])
+    t_build = time.perf_counter() - t_build
+
+    # warmup: pays any remaining compiles
+    li.search(ds["queries_nav"], ds["queries_search"], n_buckets=N_PROBES, k=K)
+
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        dists, ids = li.search(
+            ds["queries_nav"], ds["queries_search"], n_buckets=N_PROBES, k=K
+        )
+        times.append(time.perf_counter() - start)
+    t_search = min(times)
+    qps = N_QUERIES / t_search
+
+    gt_ids = _ground_truth(ds)
+    recall = float(np.mean([
+        len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
+    ]))
+
+    ok = recall >= RECALL_GATE
+    result = {
+        "metric": "search_qps_10k_queries_300K_bp6_recall>=0.90",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REF_QPS, 2) if ok else 0.0,
+        "recall_at_10": round(recall, 4),
+        "search_s_10k_queries": round(t_search, 4),
+        "build_s": round(t_build, 2),
+        "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
+        "ref_search_s": REF_SEARCH_S,
+        "ref_build_s": REF_BUILD_S,
+        "datagen_s": round(t_gen, 1),
+    }
+    print(json.dumps(result))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

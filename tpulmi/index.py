@@ -125,7 +125,11 @@ class LearnedIndex:
             jax.device_put(jnp.asarray(data_search, jnp.float32))
         )
         store = build_bucket_store(pred_categories, data_search, n_categories)
-        jax.block_until_ready(store.data_sorted)
+        # Value fetches, not just block_until_ready: on the remote-execution
+        # backend of this environment only a fetch truly synchronizes, and
+        # build time must not leak into the first search call.
+        jax.device_get(store.data_sorted[-1, :1])
+        jax.device_get(store.ids_sorted[-1])
         build_time = time.perf_counter() - start
         mx, mn, mean = bucket_stats(store)
         log.info(

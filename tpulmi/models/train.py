@@ -36,9 +36,15 @@ class TrainState:
     epoch_losses: jnp.ndarray  # (epochs,) mean CE loss per epoch
 
 
-def _make_train_fn(model: MLP, tx: optax.GradientTransformation,
-                   n: int, batch_size: int, epochs: int,
+def _make_epoch_fn(model: MLP, tx: optax.GradientTransformation,
+                   n: int, batch_size: int,
                    reference_step_semantics: bool):
+    """One compiled program per *epoch* (shuffle + scan over Adam steps).
+
+    The driver loop dispatches it `epochs` times — one compilation total,
+    reused for any epoch count (a single program nesting an epochs×steps
+    double scan compiles pathologically slowly on the remote-compile path
+    of this environment)."""
     steps_per_epoch = 1 if reference_step_semantics else max(n // batch_size, 1)
     eff_batch = min(batch_size, n)
 
@@ -47,31 +53,23 @@ def _make_train_fn(model: MLP, tx: optax.GradientTransformation,
         return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
 
     @jax.jit
-    def train_fn(params, opt_state, X, y, key):
-        def epoch_fn(carry, ekey):
+    def epoch_fn(params, opt_state, X, y, ekey):
+        perm = jax.random.permutation(ekey, n)
+        idx = perm[: steps_per_epoch * eff_batch].reshape(steps_per_epoch, eff_batch)
+
+        def step_fn(carry, batch_idx):
             params, opt_state = carry
-            perm = jax.random.permutation(ekey, n)
-            idx = perm[: steps_per_epoch * eff_batch].reshape(steps_per_epoch, eff_batch)
+            xb = jnp.take(X, batch_idx, axis=0)
+            yb = jnp.take(y, batch_idx, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
 
-            def step_fn(carry, batch_idx):
-                params, opt_state = carry
-                xb = jnp.take(X, batch_idx, axis=0)
-                yb = jnp.take(y, batch_idx, axis=0)
-                loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state), idx)
+        return params, opt_state, losses.mean()
 
-            (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state), idx)
-            return (params, opt_state), losses.mean()
-
-        ekeys = jax.random.split(key, epochs)
-        (params, opt_state), epoch_losses = jax.lax.scan(
-            epoch_fn, (params, opt_state), ekeys
-        )
-        return params, opt_state, epoch_losses
-
-    return train_fn
+    return epoch_fn
 
 
 class BucketClassifier:
@@ -98,6 +96,7 @@ class BucketClassifier:
         variables = self.model.init(key, jnp.zeros((1, input_dim), jnp.float32))
         self.params = variables["params"]
         self.opt_state = self.tx.init(self.params)
+        self._train_fn_cache = {}
 
     def train(
         self,
@@ -111,14 +110,23 @@ class BucketClassifier:
         X = jnp.asarray(X, jnp.float32)
         y = jnp.asarray(y, jnp.int32)
         n = int(X.shape[0])
-        train_fn = _make_train_fn(
-            self.model, self.tx, n, batch_size, epochs, reference_step_semantics
-        )
+        cache_key = (n, batch_size, reference_step_semantics)
+        epoch_fn = self._train_fn_cache.get(cache_key)
+        if epoch_fn is None:
+            epoch_fn = _make_epoch_fn(
+                self.model, self.tx, n, batch_size, reference_step_semantics
+            )
+            self._train_fn_cache[cache_key] = epoch_fn
         key = jax.random.PRNGKey(self.seed + 1)
-        self.params, self.opt_state, losses = train_fn(
-            self.params, self.opt_state, X, y, key
-        )
-        return losses
+        params, opt_state = self.params, self.opt_state
+        losses = []
+        for ep in range(epochs):
+            params, opt_state, loss = epoch_fn(
+                params, opt_state, X, y, jax.random.fold_in(key, ep)
+            )
+            losses.append(loss)
+        self.params, self.opt_state = params, opt_state
+        return jnp.stack(losses)
 
     @partial(jax.jit, static_argnames=("self", "chunk"))
     def _predict_chunked(self, params, X, chunk: int):
