@@ -36,26 +36,31 @@ class TrainState:
     epoch_losses: jnp.ndarray  # (epochs,) mean CE loss per epoch
 
 
-def _make_epoch_fn(model: MLP, tx: optax.GradientTransformation,
-                   n: int, batch_size: int,
+def _make_train_fn(model: MLP, tx: optax.GradientTransformation,
+                   n: int, batch_size: int, epochs: int,
                    reference_step_semantics: bool):
-    """One compiled program per *epoch* (shuffle + scan over Adam steps).
+    """The entire training run as ONE compiled program with a single
+    flat `lax.scan` over all epochs × steps.
 
-    The driver loop dispatches it `epochs` times — one compilation total,
-    reused for any epoch count (a single program nesting an epochs×steps
-    double scan compiles pathologically slowly on the remote-compile path
-    of this environment)."""
+    Per-epoch shuffles are precomputed up front (`vmap`'d permutations over
+    the per-epoch keys) so the scan stays single-level — a nested
+    epochs-over-steps scan compiles pathologically slowly, and one dispatch
+    avoids paying per-call latency `epochs` times."""
     steps_per_epoch = 1 if reference_step_semantics else max(n // batch_size, 1)
     eff_batch = min(batch_size, n)
+    total_steps = epochs * steps_per_epoch
 
     def loss_fn(params, xb, yb):
         logits = model.apply({"params": params}, xb)
         return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
 
     @jax.jit
-    def epoch_fn(params, opt_state, X, y, ekey):
-        perm = jax.random.permutation(ekey, n)
-        idx = perm[: steps_per_epoch * eff_batch].reshape(steps_per_epoch, eff_batch)
+    def train_fn(params, opt_state, X, y, key):
+        ekeys = jax.random.split(key, epochs)
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, n)[: steps_per_epoch * eff_batch]
+        )(ekeys)
+        idx = perms.reshape(total_steps, eff_batch)
 
         def step_fn(carry, batch_idx):
             params, opt_state = carry
@@ -67,9 +72,9 @@ def _make_epoch_fn(model: MLP, tx: optax.GradientTransformation,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(step_fn, (params, opt_state), idx)
-        return params, opt_state, losses.mean()
+        return params, opt_state, losses.reshape(epochs, steps_per_epoch).mean(axis=1)
 
-    return epoch_fn
+    return train_fn
 
 
 class BucketClassifier:
@@ -110,23 +115,18 @@ class BucketClassifier:
         X = jnp.asarray(X, jnp.float32)
         y = jnp.asarray(y, jnp.int32)
         n = int(X.shape[0])
-        cache_key = (n, batch_size, reference_step_semantics)
-        epoch_fn = self._train_fn_cache.get(cache_key)
-        if epoch_fn is None:
-            epoch_fn = _make_epoch_fn(
-                self.model, self.tx, n, batch_size, reference_step_semantics
+        cache_key = (n, batch_size, epochs, reference_step_semantics)
+        train_fn = self._train_fn_cache.get(cache_key)
+        if train_fn is None:
+            train_fn = _make_train_fn(
+                self.model, self.tx, n, batch_size, epochs, reference_step_semantics
             )
-            self._train_fn_cache[cache_key] = epoch_fn
+            self._train_fn_cache[cache_key] = train_fn
         key = jax.random.PRNGKey(self.seed + 1)
-        params, opt_state = self.params, self.opt_state
-        losses = []
-        for ep in range(epochs):
-            params, opt_state, loss = epoch_fn(
-                params, opt_state, X, y, jax.random.fold_in(key, ep)
-            )
-            losses.append(loss)
-        self.params, self.opt_state = params, opt_state
-        return jnp.stack(losses)
+        self.params, self.opt_state, losses = train_fn(
+            self.params, self.opt_state, X, y, key
+        )
+        return losses
 
     @partial(jax.jit, static_argnames=("self", "chunk"))
     def _predict_chunked(self, params, X, chunk: int):
