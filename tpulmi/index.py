@@ -79,6 +79,16 @@ class LearnedIndex:
         lr = lr or cfg.lr
         model_type = model_type or cfg.model_type
 
+        n = int(np.asarray(data_nav).shape[0])
+        if cfg.fused_build and n >= 2:
+            # small-data fallbacks, mirroring the reference's cluster()
+            # (`search/li/LearnedIndex.py:263-269`)
+            if n < n_categories:
+                n_categories = max(n // 5, 2)
+            return self._build_fused(
+                data_nav, data_search, n_categories, epochs, lr, model_type
+            )
+
         start = time.perf_counter()
         data_nav = jax.device_put(jnp.asarray(data_nav, jnp.float32))
 
@@ -91,7 +101,9 @@ class LearnedIndex:
             max_points_per_centroid=cfg.kmeans_max_points_per_centroid,
         )
         n_categories = int(centroids.shape[0]) if centroids is not None else 1
-        jax.block_until_ready(labels)
+        # value fetch = true sync (block_until_ready does not synchronize on
+        # the remote-execution backend of this environment)
+        jax.device_get(labels[-1])
         t_cluster = time.perf_counter() - start
         log.info("k-means: %d clusters in %.3fs", n_categories, t_cluster)
 
@@ -110,7 +122,7 @@ class LearnedIndex:
             batch_size=cfg.batch_size,
             reference_step_semantics=cfg.reference_step_semantics,
         )
-        jax.block_until_ready(losses)
+        losses = jax.device_get(losses)  # true sync, see above
         t_train = time.perf_counter() - start - t_cluster
         log.info(
             "training: %d epochs in %.3fs (final loss %.4f)",
@@ -119,6 +131,9 @@ class LearnedIndex:
 
         # ---- 3. bucket the search space by the model's own predictions ----
         pred_categories = classifier.predict(data_nav)
+        jax.device_get(pred_categories[-1])
+        t_predict = time.perf_counter() - start - t_cluster - t_train
+        log.info("predict: %d rows in %.3fs", int(data_nav.shape[0]), t_predict)
         if data_search is None:
             data_search = data_nav
         data_search = l2_normalize(
@@ -139,6 +154,71 @@ class LearnedIndex:
 
         self.built = BuiltIndex(
             centroids=centroids,
+            classifier=classifier,
+            store=store,
+            pred_categories=pred_categories,
+            config=cfg,
+        )
+        return np.asarray(jax.device_get(pred_categories)), build_time
+
+    def _build_fused(
+        self, data_nav, data_search, n_categories, epochs, lr, model_type
+    ) -> Tuple[np.ndarray, float]:
+        """Build via the single fused XLA program (tpulmi/build.py): one
+        compile, one dispatch, no host round-trips between stages."""
+        from tpulmi.build import make_build_program
+
+        cfg = self.config
+        start = time.perf_counter()
+        data_nav = jax.device_put(jnp.asarray(data_nav, jnp.float32))
+        if data_search is None:
+            data_search = data_nav
+        data_search = jax.device_put(jnp.asarray(data_search, jnp.float32))
+        n = int(data_nav.shape[0])
+
+        classifier = BucketClassifier(
+            input_dim=int(data_nav.shape[1]),
+            n_classes=n_categories,
+            lr=lr,
+            model_type=model_type,
+            seed=cfg.seed,
+        )
+        program = make_build_program(
+            classifier.model,
+            classifier.tx,
+            n=n,
+            d_nav=int(data_nav.shape[1]),
+            n_categories=n_categories,
+            kmeans_iters=cfg.kmeans_iters,
+            kmeans_train_points=cfg.kmeans_max_points_per_centroid * n_categories,
+            epochs=epochs,
+            batch_size=cfg.batch_size,
+            reference_step_semantics=cfg.reference_step_semantics,
+        )
+        result = program(data_nav, data_search, jax.random.PRNGKey(cfg.seed))
+        # value fetches = true sync on the remote-execution backend
+        losses = jax.device_get(result.losses)
+        pred_categories = result.pred_categories
+        jax.device_get(result.data_sorted[-1, :1])
+        build_time = time.perf_counter() - start
+
+        classifier.params = result.params
+        store = BucketStore(
+            data_sorted=result.data_sorted,
+            ids_sorted=result.ids_sorted,
+            offsets=result.offsets,
+            counts=result.counts,
+            n=n,
+            pad_rows=int(result.ids_sorted.shape[0]) - n,
+        )
+        mx, mn, mean = bucket_stats(store)
+        log.info(
+            "fused build: N=%d buckets=%d size max/mean/min=%d/%.0f/%d; "
+            "final loss %.4f; build %.3fs",
+            n, n_categories, mx, mean, mn, float(losses[-1]), build_time,
+        )
+        self.built = BuiltIndex(
+            centroids=result.centroids,
             classifier=classifier,
             store=store,
             pred_categories=pred_categories,

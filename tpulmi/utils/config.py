@@ -31,6 +31,10 @@ class IndexConfig:
     # Numerics. Matmuls run in this dtype on the MXU with f32 accumulation.
     compute_dtype: str = "float32"
 
+    # Build the index via the single fused XLA program (tpulmi/build.py):
+    # one compile, one dispatch. Disable to run the modular per-stage path.
+    fused_build: bool = True
+
     # The reference's `train_batch` only applies one optimizer step per epoch
     # (on the final batch — `search/li/model.py:186-198`). We train properly
     # (a step per batch) by default; set True to mimic the reference's
