@@ -27,9 +27,45 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tpulmi.models.mlp import MLP
+from tpulmi.models.mlp import MLP, make_model
 from tpulmi.ops.distance import l2_normalize
 from tpulmi.ops.kmeans import _sq_dists
+
+# Compiled-program cache keyed on the semantic parameters (a fresh closure
+# per build would force a recompile even for identical HLO).
+_PROGRAM_CACHE = {}
+
+
+def get_build_program(
+    *,
+    model_type: str,
+    lr: float,
+    n: int,
+    d_nav: int,
+    n_categories: int,
+    kmeans_iters: int = 25,
+    kmeans_train_points: int = 31232,
+    epochs: int = 12,
+    batch_size: int = 1024,
+    reference_step_semantics: bool = False,
+):
+    """Memoized fused build program for the given configuration."""
+    key = (model_type, float(lr), n, d_nav, n_categories, kmeans_iters,
+           kmeans_train_points, epochs, batch_size, reference_step_semantics)
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is None:
+        model = make_model(model_type, n_categories)
+        tx = optax.adam(lr)
+        prog = make_build_program(
+            model, tx,
+            n=n, d_nav=d_nav, n_categories=n_categories,
+            kmeans_iters=kmeans_iters,
+            kmeans_train_points=kmeans_train_points,
+            epochs=epochs, batch_size=batch_size,
+            reference_step_semantics=reference_step_semantics,
+        )
+        _PROGRAM_CACHE[key] = prog
+    return prog
 
 
 class BuildResult(NamedTuple):

@@ -166,7 +166,7 @@ class LearnedIndex:
     ) -> Tuple[np.ndarray, float]:
         """Build via the single fused XLA program (tpulmi/build.py): one
         compile, one dispatch, no host round-trips between stages."""
-        from tpulmi.build import make_build_program
+        from tpulmi.build import get_build_program
 
         cfg = self.config
         start = time.perf_counter()
@@ -182,10 +182,11 @@ class LearnedIndex:
             lr=lr,
             model_type=model_type,
             seed=cfg.seed,
+            initialize=False,
         )
-        program = make_build_program(
-            classifier.model,
-            classifier.tx,
+        program = get_build_program(
+            model_type=model_type,
+            lr=lr,
             n=n,
             d_nav=int(data_nav.shape[1]),
             n_categories=n_categories,

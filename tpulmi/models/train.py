@@ -89,6 +89,7 @@ class BucketClassifier:
         model_type: str = "MLP",
         seed: int = 2023,
         compute_dtype=jnp.float32,
+        initialize: bool = True,
     ):
         self.model = make_model(model_type, n_classes, compute_dtype=compute_dtype)
         self.model_type = model_type
@@ -97,10 +98,15 @@ class BucketClassifier:
         self.lr = lr
         self.seed = seed
         self.tx = optax.adam(lr)
-        key = jax.random.PRNGKey(seed)
-        variables = self.model.init(key, jnp.zeros((1, input_dim), jnp.float32))
-        self.params = variables["params"]
-        self.opt_state = self.tx.init(self.params)
+        self.params = None
+        self.opt_state = None
+        if initialize:
+            # `initialize=False` defers to a caller that provides trained
+            # params (e.g. the fused build program initializes in-program).
+            key = jax.random.PRNGKey(seed)
+            variables = self.model.init(key, jnp.zeros((1, input_dim), jnp.float32))
+            self.params = variables["params"]
+            self.opt_state = self.tx.init(self.params)
         self._train_fn_cache = {}
 
     def train(
