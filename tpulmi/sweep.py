@@ -1,0 +1,120 @@
+"""Hyperparameter sweep driver.
+
+The reference parallelizes its hyperparameter search as one PBS job per
+combination (`search/run-multiple.sh:11-34` qsub-ing `run-single.sh` with
+env-var overrides). On TPU the economics invert: a build takes seconds, so a
+single process sweeps the grid sequentially on one chip, reusing the data on
+device and reusing compiled programs whenever shapes repeat.
+
+Grid semantics mirror the reference's loops: preprocess × dataset ×
+learning rate × model type × epochs × n_categories, plus probe budgets.
+"""
+
+import itertools
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tpulmi.baseline import Baseline
+from tpulmi.index import LearnedIndex
+from tpulmi.utils.config import IndexConfig, n_buckets_from_percentage
+from tpulmi.utils.logging import get_logger
+
+log = get_logger("tpulmi.sweep")
+
+
+@dataclass
+class SweepGrid:
+    """Default values = the reference sweep's grid shape
+    (`search/run-multiple.sh:5-12`), trimmed to sensible TPU budgets."""
+
+    lrs: Sequence[float] = (0.009,)
+    model_types: Sequence[str] = ("MLP-5",)
+    epochs: Sequence[int] = (12,)
+    n_categories: Sequence[int] = (122,)
+    buckets_perc: Sequence[int] = (4,)
+
+    def combos(self):
+        return itertools.product(
+            self.lrs, self.model_types, self.epochs, self.n_categories
+        )
+
+
+@dataclass
+class SweepResult:
+    lr: float
+    model_type: str
+    epochs: int
+    n_categories: int
+    n_buckets: int
+    build_s: float
+    search_s: float
+    recall: float
+
+
+def run_sweep(
+    data_nav,
+    queries_nav,
+    data_search=None,
+    queries_search=None,
+    grid: SweepGrid = SweepGrid(),
+    k: int = 10,
+    gt_ids: Optional[np.ndarray] = None,
+) -> List[SweepResult]:
+    """Sweep the grid; returns one row per (combo, probe budget).
+
+    `gt_ids` (1-based, (Q, ≥k)) enables recall scoring; if omitted it is
+    computed once with the exact oracle."""
+    if data_search is None:
+        data_search = data_nav
+    if queries_search is None:
+        queries_search = queries_nav
+    if gt_ids is None:
+        log.info("computing exact ground truth (%d queries)", len(queries_search))
+        _, gt_ids, _ = Baseline().search(queries_search, data_search, k=k)
+
+    results = []
+    for lr, model_type, epochs, n_cat in grid.combos():
+        cfg = IndexConfig(
+            n_categories=n_cat, epochs=epochs, lr=lr, model_type=model_type
+        )
+        li = LearnedIndex(cfg)
+        t0 = time.perf_counter()
+        li.build(data_nav, data_search)
+        build_s = time.perf_counter() - t0
+        for n_buckets in n_buckets_from_percentage(list(grid.buckets_perc), n_cat):
+            t0 = time.perf_counter()
+            _, ids = li.search(
+                queries_nav, queries_search, n_buckets=n_buckets, k=k
+            )
+            search_s = time.perf_counter() - t0
+            recall = float(np.mean([
+                len(set(ids[i, :k]) & set(gt_ids[i, :k])) / k
+                for i in range(ids.shape[0])
+            ]))
+            row = SweepResult(lr, model_type, epochs, n_cat, n_buckets,
+                              build_s, search_s, recall)
+            results.append(row)
+            log.info(
+                "lr=%g model=%s ep=%d cat=%d probes=%d: build %.1fs "
+                "search %.2fs recall %.4f",
+                lr, model_type, epochs, n_cat, n_buckets,
+                build_s, search_s, recall,
+            )
+    return results
+
+
+def results_to_csv(results: List[SweepResult], path: str = "sweep.csv") -> None:
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["lr", "model_type", "epochs", "n_categories", "n_buckets",
+                    "build_s", "search_s", "recall"])
+        for r in results:
+            w.writerow([r.lr, r.model_type, r.epochs, r.n_categories,
+                        r.n_buckets, f"{r.build_s:.2f}", f"{r.search_s:.3f}",
+                        f"{r.recall:.4f}"])
+    log.info("wrote %s (%d rows)", path, len(results))
