@@ -252,6 +252,9 @@ class LearnedIndex:
 
         n_buckets = min(n_buckets, built.store.n_categories)
         _, probe_buckets = built.classifier.predict_proba(queries_nav, top=n_buckets)
+        compute_dtype = (
+            jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None
+        )
         dists, ids = probe_search(
             probe_buckets,
             queries_search,
@@ -259,6 +262,8 @@ class LearnedIndex:
             k=k,
             data_chunk=scfg.data_chunk,
             qpb_pad=scfg.queries_per_bucket_pad,
+            query_chunk=scfg.query_chunk,
+            compute_dtype=compute_dtype,
         )
         dists, ids = jax.device_get((dists, ids))
         # empty result slots (id -1) keep the sentinel distance; clamp the id

@@ -52,7 +52,8 @@ def size_class(x: int, minimum: int = 128) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "qpb_pad", "data_chunk", "max_chunks"),
+    static_argnames=("k", "qpb_pad", "data_chunk", "max_chunks",
+                     "query_chunk", "compute_dtype"),
 )
 def _probe_search_impl(
     probe_buckets: jnp.ndarray,   # (Q, P) int32 bucket id per probe rank
@@ -63,12 +64,22 @@ def _probe_search_impl(
     qpb_pad: int,       # static pad for max slots per bucket
     data_chunk: int,    # rows per inner chunk
     max_chunks: int,    # static ceil(max_bucket_size / data_chunk)
+    query_chunk: int = 512,
+    compute_dtype=None,  # e.g. jnp.bfloat16; accumulation is always f32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     q, p = probe_buckets.shape
     n_slots = q * p
     n_cat = store.n_categories
     d = store.dim
     mc = data_chunk
+    qc = min(query_chunk, qpb_pad)
+    n_qchunks = qpb_pad // qc
+
+    data = store.data_sorted
+    queries = queries_search
+    if compute_dtype is not None:
+        data = data.astype(compute_dtype)
+        queries = queries.astype(compute_dtype)
 
     # --- group slots by bucket ------------------------------------------------
     slots = probe_buckets.reshape(n_slots)
@@ -83,58 +94,78 @@ def _probe_search_impl(
     # padding points at a dump slot (= n_slots).
     order_pad = jnp.pad(order, (0, qpb_pad), constant_values=n_slots)
 
-    data_pad_rows = store.data_sorted.shape[0]
-
     def per_bucket(c):
         qstart = slot_offsets[c]
         qcnt = slot_counts[c]
-        slot_idx = jax.lax.dynamic_slice(order_pad, (qstart,), (qpb_pad,))
-        valid_q = jnp.arange(qpb_pad, dtype=jnp.int32) < qcnt
-        slot_idx = jnp.where(valid_q, slot_idx, n_slots)
-        q_idx = jnp.minimum(slot_idx // p, q - 1)
-        qvecs = jnp.take(queries_search, q_idx, axis=0)  # (qpb_pad, d)
-
         dstart = store.offsets[c]
         dcnt = store.counts[c]
 
-        init = (
-            jnp.full((qpb_pad, k), SENTINEL_DIST, jnp.float32),
-            jnp.full((qpb_pad, k), -1, jnp.int32),
+        def per_query_chunk(_, qj):
+            # slots [qstart + qj*qc, +qc) of this bucket, masked past qcnt
+            s0 = qstart + qj * qc
+            slot_idx = jax.lax.dynamic_slice(order_pad, (s0,), (qc,))
+            valid_q = (qj * qc + jnp.arange(qc, dtype=jnp.int32)) < qcnt
+            slot_idx = jnp.where(valid_q, slot_idx, n_slots)
+            q_idx = jnp.minimum(slot_idx // p, q - 1)
+
+            init = (
+                jnp.full((qc, k), SENTINEL_DIST, jnp.float32),
+                jnp.full((qc, k), -1, jnp.int32),
+            )
+
+            def inactive(_):
+                return init, slot_idx
+
+            def active(_):
+                qvecs = jnp.take(queries, q_idx, axis=0)  # (qc, d)
+
+                def chunk_step(carry, j):
+                    def compute(carry):
+                        best_d, best_i = carry
+                        start = dstart + j * mc  # in-bounds while j*mc < dcnt
+                        block = jax.lax.dynamic_slice(data, (start, 0), (mc, d))
+                        block_ids = jax.lax.dynamic_slice(
+                            store.ids_sorted, (start,), (mc,)
+                        )
+                        sims = jax.lax.dot_general(
+                            qvecs, block,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        dists = 1.0 - sims  # (qc, mc) f32
+                        row = start + jax.lax.broadcasted_iota(jnp.int32, (1, mc), 1)
+                        in_bucket = row < (dstart + dcnt)
+                        dists = jnp.where(in_bucket, dists, SENTINEL_DIST)
+                        cat_d = jnp.concatenate([best_d, dists], axis=1)
+                        cat_i = jnp.concatenate(
+                            [best_i,
+                             jnp.broadcast_to(block_ids[None, :], (qc, mc))],
+                            axis=1,
+                        )
+                        neg_top, arg_top = jax.lax.top_k(-cat_d, k)
+                        return -neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1)
+
+                    needed = j * mc < dcnt
+                    carry = jax.lax.cond(needed, compute, lambda cr: cr, carry)
+                    return carry, None
+
+                (best_d, best_i), _ = jax.lax.scan(
+                    chunk_step, init, jnp.arange(max_chunks)
+                )
+                return (best_d, best_i), slot_idx
+
+            # skip the whole query chunk when no slots fall in it
+            return None, jax.lax.cond(qj * qc < qcnt, active, inactive, None)
+
+        _, ((best_d, best_i), slot_idx) = jax.lax.scan(
+            per_query_chunk, None, jnp.arange(n_qchunks)
         )
-
-        def chunk_step(carry, j):
-            def compute(carry):
-                best_d, best_i = carry
-                start = dstart + j * mc  # in-bounds: dstart+j*mc < dstart+dcnt ≤ n
-                block = jax.lax.dynamic_slice(
-                    store.data_sorted, (start, 0), (mc, d)
-                )
-                block_ids = jax.lax.dynamic_slice(store.ids_sorted, (start,), (mc,))
-                sims = jax.lax.dot_general(
-                    qvecs, block,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dists = 1.0 - sims  # (qpb_pad, mc)
-                row = start + jax.lax.broadcasted_iota(jnp.int32, (1, mc), 1)
-                in_bucket = row < (dstart + dcnt)
-                dists = jnp.where(in_bucket, dists, SENTINEL_DIST)
-                cat_d = jnp.concatenate([best_d, dists], axis=1)
-                cat_i = jnp.concatenate(
-                    [best_i, jnp.broadcast_to(block_ids[None, :], (qpb_pad, mc))],
-                    axis=1,
-                )
-                neg_top, arg_top = jax.lax.top_k(-cat_d, k)
-                return -neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1)
-
-            needed = jnp.logical_and(j * mc < dcnt, qcnt > 0)
-            carry = jax.lax.cond(needed, compute, lambda cr: cr, carry)
-            return carry, None
-
-        (best_d, best_i), _ = jax.lax.scan(
-            chunk_step, init, jnp.arange(max_chunks)
+        # (n_qchunks, qc, ...) -> (qpb_pad, ...)
+        return (
+            best_d.reshape(qpb_pad, k),
+            best_i.reshape(qpb_pad, k),
+            slot_idx.reshape(qpb_pad),
         )
-        return best_d, best_i, slot_idx
 
     bucket_d, bucket_i, bucket_slots = jax.lax.map(per_bucket, jnp.arange(n_cat))
     # bucket_d/i: (n_cat, qpb_pad, k); bucket_slots: (n_cat, qpb_pad)
@@ -163,6 +194,8 @@ def probe_search(
     k: int = 10,
     data_chunk: int = 2048,
     qpb_pad: int = None,
+    query_chunk: int = 512,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Search the probed buckets for each query's k nearest neighbors.
 
@@ -190,6 +223,8 @@ def probe_search(
         data_chunk = min(data_chunk, store.pad_rows)
     if qpb_pad is None:
         qpb_pad = size_class(max(max_slots, 1))
+    query_chunk = min(query_chunk, qpb_pad)
+    qpb_pad = -(-qpb_pad // query_chunk) * query_chunk
     max_chunks = max(-(-max_bucket // data_chunk), 1)
 
     return _probe_search_impl(
@@ -200,4 +235,6 @@ def probe_search(
         qpb_pad=qpb_pad,
         data_chunk=data_chunk,
         max_chunks=max_chunks,
+        query_chunk=query_chunk,
+        compute_dtype=compute_dtype,
     )

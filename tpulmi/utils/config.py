@@ -58,8 +58,13 @@ class SearchConfig:
     # from the routing result at call time (rounded up to a size class so the
     # jitted pipeline is compiled only a handful of times).
     queries_per_bucket_pad: Optional[int] = None
-    data_chunk: int = 2048  # rows of a bucket processed per inner-scan step
+    data_chunk: int = 2048   # rows of a bucket processed per inner-scan step
+    query_chunk: int = 512   # slots per query chunk (cond-skipped when empty)
     batch_queries: Optional[int] = None  # split very large query sets
+    # MXU input precision for the distance matmuls; accumulation is always
+    # float32, so bfloat16 costs ~0.02% relative distance error for 2x
+    # throughput. None = float32 (exact).
+    compute_dtype: Optional[str] = "bfloat16"
 
     def to_dict(self) -> dict:
         return asdict(self)
