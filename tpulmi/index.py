@@ -33,7 +33,7 @@ from tpulmi.buckets import BucketStore, build_bucket_store, bucket_stats
 from tpulmi.models.train import BucketClassifier
 from tpulmi.ops.distance import l2_normalize
 from tpulmi.ops.kmeans import kmeans
-from tpulmi.search import probe_search
+from tpulmi.search import make_search_program, probe_search, size_class
 from tpulmi.utils.config import IndexConfig, SearchConfig
 from tpulmi.utils.logging import get_logger
 
@@ -49,12 +49,15 @@ class BuiltIndex:
     store: BucketStore
     pred_categories: jnp.ndarray  # (N,) int32 model-argmax bucket per row
     config: IndexConfig
+    max_bucket: int = 0           # largest bucket size (static search padding)
 
 
 class LearnedIndex:
     def __init__(self, config: IndexConfig = IndexConfig()):
         self.config = config
         self.built: Optional[BuiltIndex] = None
+        self._search_programs = {}   # static-config -> jitted program
+        self._qpb_pads = {}          # (Q, n_buckets) -> validated qpb_pad
 
     # ------------------------------------------------------------------ build
     def build(
@@ -158,6 +161,7 @@ class LearnedIndex:
             store=store,
             pred_categories=pred_categories,
             config=cfg,
+            max_bucket=mx,
         )
         return np.asarray(jax.device_get(pred_categories)), build_time
 
@@ -224,6 +228,7 @@ class LearnedIndex:
             store=store,
             pred_categories=pred_categories,
             config=cfg,
+            max_bucket=mx,
         )
         return np.asarray(jax.device_get(pred_categories)), build_time
 
@@ -248,24 +253,56 @@ class LearnedIndex:
         queries_nav = jnp.asarray(queries_nav, jnp.float32)
         if queries_search is None:
             queries_search = queries_nav
-        queries_search = l2_normalize(jnp.asarray(queries_search, jnp.float32))
+        queries_search = jnp.asarray(queries_search, jnp.float32)
 
         n_buckets = min(n_buckets, built.store.n_categories)
-        _, probe_buckets = built.classifier.predict_proba(queries_nav, top=n_buckets)
         compute_dtype = (
             jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None
         )
-        dists, ids = probe_search(
-            probe_buckets,
-            queries_search,
-            built.store,
-            k=k,
-            data_chunk=scfg.data_chunk,
-            qpb_pad=scfg.queries_per_bucket_pad,
-            query_chunk=scfg.query_chunk,
-            compute_dtype=compute_dtype,
+
+        q = int(queries_nav.shape[0])
+        n_slots = q * n_buckets
+        # Static padding classes. data_chunk/max_chunks depend only on the
+        # store (known since build); qpb_pad depends on how skewed the
+        # routing of THIS query batch is — start from a 4x-mean guess (or a
+        # previously validated value) and let the program report the true
+        # max so an overflow triggers one re-padded rerun. No per-call host
+        # sync is needed on the steady-state path.
+        data_chunk = min(scfg.data_chunk, size_class(max(built.max_bucket, 1)),
+                         built.store.pad_rows or scfg.data_chunk)
+        max_chunks = max(-(-built.max_bucket // data_chunk), 1)
+        qpb_pad = scfg.queries_per_bucket_pad or self._qpb_pads.get(
+            (q, n_buckets),
+            size_class(min(n_slots,
+                           max(4 * n_slots // built.store.n_categories, 128))),
         )
-        dists, ids = jax.device_get((dists, ids))
+
+        while True:
+            query_chunk = min(scfg.query_chunk, qpb_pad)
+            qpb_pad = -(-qpb_pad // query_chunk) * query_chunk
+            prog_key = (n_buckets, k, qpb_pad, data_chunk, max_chunks,
+                        query_chunk, scfg.compute_dtype)
+            program = self._search_programs.get(prog_key)
+            if program is None:
+                program = make_search_program(
+                    built.classifier.model,
+                    k=k,
+                    n_buckets=n_buckets,
+                    qpb_pad=qpb_pad,
+                    data_chunk=data_chunk,
+                    max_chunks=max_chunks,
+                    query_chunk=query_chunk,
+                    compute_dtype=compute_dtype,
+                )
+                self._search_programs[prog_key] = program
+            dists, ids, max_slots = program(
+                built.classifier.params, queries_nav, queries_search, built.store
+            )
+            dists, ids, max_slots = jax.device_get((dists, ids, max_slots))
+            if int(max_slots) <= qpb_pad:
+                self._qpb_pads[(q, n_buckets)] = qpb_pad
+                break
+            qpb_pad = size_class(int(max_slots))  # overflow: re-pad and rerun
         # empty result slots (id -1) keep the sentinel distance; clamp the id
         # into range the way the reference edge-pads sub-k buckets
         # (`search/li/LearnedIndex.py:174-190`).
@@ -344,5 +381,6 @@ class LearnedIndex:
             store=store,
             pred_categories=jnp.asarray(state["pred_categories"]),
             config=cfg,
+            max_bucket=int(jax.device_get(store.counts.max())),
         )
         return index

@@ -163,7 +163,7 @@ def sharded_probe_search(
             n=sstore.rows,
             pad_rows=sstore.pad_rows,
         )
-        part_d, part_i = _probe_search_impl(
+        part_d, part_i, _ = _probe_search_impl(
             local,
             queries,
             local_store,

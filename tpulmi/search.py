@@ -184,7 +184,48 @@ def _probe_search_impl(
     neg_top, arg_top = jax.lax.top_k(-slot_d, k)
     final_d = -neg_top
     final_i = jnp.take_along_axis(slot_i, arg_top, axis=1)
-    return final_d, final_i
+    # max slots routed to any bucket this batch — lets callers validate a
+    # reused qpb_pad without an extra round trip (overflow → re-pad & rerun)
+    return final_d, final_i, slot_counts.max()
+
+
+def make_search_program(
+    model,
+    *,
+    k: int,
+    n_buckets: int,
+    qpb_pad: int,
+    data_chunk: int,
+    max_chunks: int,
+    query_chunk: int = 512,
+    compute_dtype=None,
+):
+    """One jitted end-to-end search program: MLP routing (top-k of logits —
+    softmax is monotone so it is skipped, unlike the reference which
+    materializes the full softmax ranking, `search/li/model.py:226-227`),
+    query normalization, and the batched probe pipeline. A single dispatch
+    per search call; returns (dists, ids, max_slots) where max_slots lets the
+    caller validate the static qpb_pad without an extra round trip."""
+    from tpulmi.ops.distance import l2_normalize
+
+    @jax.jit
+    def search_program(params, queries_nav, queries_search, store):
+        logits = model.apply({"params": params}, queries_nav)
+        _, probes = jax.lax.top_k(logits, n_buckets)
+        qs = l2_normalize(queries_search.astype(jnp.float32))
+        return _probe_search_impl(
+            probes.astype(jnp.int32),
+            qs,
+            store,
+            k=k,
+            qpb_pad=qpb_pad,
+            data_chunk=data_chunk,
+            max_chunks=max_chunks,
+            query_chunk=query_chunk,
+            compute_dtype=compute_dtype,
+        )
+
+    return search_program
 
 
 def probe_search(
@@ -227,7 +268,7 @@ def probe_search(
     qpb_pad = -(-qpb_pad // query_chunk) * query_chunk
     max_chunks = max(-(-max_bucket // data_chunk), 1)
 
-    return _probe_search_impl(
+    dists, ids, _ = _probe_search_impl(
         probe_buckets,
         queries_search,
         store,
@@ -238,3 +279,4 @@ def probe_search(
         query_chunk=query_chunk,
         compute_dtype=compute_dtype,
     )
+    return dists, ids
