@@ -136,8 +136,12 @@ def main():
         "datagen_s": round(t_gen, 1),
     }
     print(json.dumps(result))
+    sys.stdout.flush()
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    code = main()
+    # Hard-exit: the remote-backend's atexit teardown can hang for minutes
+    # after the result is printed; nothing of value runs after this point.
+    os._exit(code)
