@@ -39,17 +39,23 @@ def test_fused_build_recall_parity(synthetic_small):
 
 
 def test_fused_build_store_consistent(synthetic_small):
-    cfg = IndexConfig(n_categories=24, epochs=4, lr=0.003, fused_build=True)
+    cfg = IndexConfig(n_categories=24, epochs=4, lr=0.003, fused_build=True,
+                      row_align=256)
     li = LearnedIndex(cfg)
     pred, _ = li.build(synthetic_small["data_nav"], synthetic_small["data_search"])
     store = li.built.store
     ids = np.asarray(store.ids_sorted)
     offsets = np.asarray(store.offsets)
     counts = np.asarray(store.counts)
-    n = synthetic_small["data_nav"].shape[0]
-    assert offsets[-1] == n
     np.testing.assert_array_equal(counts, np.bincount(pred, minlength=24))
+    # bucket row ranges are 256-aligned: real rows first, sentinel padding after
+    assert (offsets % 256 == 0).all()
     for b in (0, 7, 23):
-        seg = ids[offsets[b]: offsets[b + 1]]
-        np.testing.assert_array_equal(np.sort(seg), np.where(pred == b)[0])
-    assert (ids[n:] == -1).all()
+        real = ids[offsets[b]: offsets[b] + counts[b]]
+        np.testing.assert_array_equal(np.sort(real), np.where(pred == b)[0])
+        pad = ids[offsets[b] + counts[b]: offsets[b + 1]]
+        assert (pad == -1).all()
+    # every real row appears exactly once overall
+    all_real = np.sort(ids[ids >= 0])
+    np.testing.assert_array_equal(all_real,
+                                  np.arange(synthetic_small["data_nav"].shape[0]))

@@ -1,0 +1,72 @@
+"""Pallas fused probe kernel vs the XLA reference pipeline (interpret mode
+on CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpulmi.buckets import build_bucket_store
+from tpulmi.ops.distance import exact_knn
+from tpulmi.ops.pallas_topk import pallas_probe_search
+from tpulmi.search import probe_search
+
+
+def _setup(rng, n=4000, d=128, c=13, q=64, mc=256):
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(q, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+    store = build_bucket_store(labels, data, c, pad_rows=mc, row_align=mc)
+    return data, queries, labels, store
+
+
+@pytest.mark.parametrize("n_probes", [1, 3])
+def test_pallas_matches_xla(rng, n_probes):
+    data, queries, labels, store = _setup(rng)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:n_probes] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    mc = 256
+    d_p, i_p, ms = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        k=10, qc=128, mc=mc, max_chunks=-(-max_bucket // mc),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    d_x, i_x = probe_search(probes, queries, store, k=10, data_chunk=mc)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+    # id sets must match wherever distances are unique
+    assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
+
+
+def test_pallas_probe_all_equals_exact(rng):
+    data, queries, labels, store = _setup(rng, n=2000, c=7, q=32)
+    probes = np.tile(np.arange(7, dtype=np.int32), (32, 1))
+    max_bucket = int(np.asarray(store.counts).max())
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        k=10, qc=128, mc=256, max_chunks=-(-max_bucket // 256),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    want_d, _ = exact_knn(queries, data, k=10, normalized=True)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(want_d), atol=1e-5)
+    chosen = 1.0 - np.einsum("qkd,qd->qk", data[np.asarray(i_p)], queries)
+    np.testing.assert_allclose(chosen, np.asarray(want_d), atol=1e-5)
+
+
+def test_pallas_subk_sentinels(rng):
+    # tiny buckets: fewer than k rows probed -> sentinel rows with id -1
+    data, queries, labels, store = _setup(rng, n=40, c=10, q=8)
+    probes = rng.integers(0, 10, size=(8, 1)).astype(np.int32)
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        k=10, qc=128, mc=256, max_chunks=1,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    for i in range(8):
+        cnt = (labels == probes[i, 0]).sum()
+        assert (i_p[i, cnt:] == -1).all()

@@ -51,25 +51,54 @@ def build_bucket_store(
     data_search,
     n_categories: int,
     pad_rows: int = 4096,
+    row_align: int = 1,
 ) -> BucketStore:
     """Construct the store from per-row bucket labels (the *model's* argmax
     assignment, matching the reference which buckets by predicted category,
-    not by the raw k-means labels — `search/li/LearnedIndex.py:67,240`)."""
+    not by the raw k-means labels — `search/li/LearnedIndex.py:67,240`).
+
+    `row_align > 1` pads every bucket's row range to a multiple of
+    `row_align` with sentinel rows (id -1) so each bucket starts on an
+    aligned block boundary — required by the Pallas probe kernel, whose DMA
+    block index maps address whole blocks. The store then occupies the
+    static worst case `n + n_categories*row_align` rows.
+    """
     labels = jnp.asarray(labels, jnp.int32)
     data_search = jnp.asarray(data_search)
     n, d = data_search.shape
 
     order = jnp.argsort(labels, stable=True).astype(jnp.int32)
-    data_sorted = jnp.take(data_search, order, axis=0)
     counts = jax.ops.segment_sum(
         jnp.ones((n,), jnp.int32), labels, num_segments=n_categories
     ).astype(jnp.int32)
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
-    )
 
-    data_sorted = jnp.pad(data_sorted, ((0, pad_rows), (0, 0)))
-    ids_sorted = jnp.pad(order, (0, pad_rows), constant_values=-1)
+    if row_align <= 1:
+        data_sorted = jnp.take(data_search, order, axis=0)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        )
+        data_sorted = jnp.pad(data_sorted, ((0, pad_rows), (0, 0)))
+        ids_sorted = jnp.pad(order, (0, pad_rows), constant_values=-1)
+    else:
+        aligned = -(-counts // row_align) * row_align
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
+        )
+        # static worst case, rounded so the total (incl. pad) stays a
+        # multiple of row_align (the Pallas kernel reshapes rows into
+        # fixed-size blocks)
+        n_total = -(-(n + n_categories * row_align) // row_align) * row_align
+        pad_rows = -(-pad_rows // row_align) * row_align
+        raw_offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        )
+        sorted_labels = jnp.take(labels, order)
+        rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(raw_offsets, sorted_labels)
+        pos = jnp.take(offsets, sorted_labels) + rank
+        data_sorted = jnp.zeros((n_total + pad_rows, d), data_search.dtype)
+        data_sorted = data_sorted.at[pos].set(jnp.take(data_search, order, axis=0))
+        ids_sorted = jnp.full((n_total + pad_rows,), -1, jnp.int32)
+        ids_sorted = ids_sorted.at[pos].set(order)
 
     return BucketStore(
         data_sorted=data_sorted,

@@ -47,11 +47,13 @@ def get_build_program(
     kmeans_train_points: int = 31232,
     epochs: int = 12,
     batch_size: int = 1024,
+    row_align: int = 1,
     reference_step_semantics: bool = False,
 ):
     """Memoized fused build program for the given configuration."""
     key = (model_type, float(lr), n, d_nav, n_categories, kmeans_iters,
-           kmeans_train_points, epochs, batch_size, reference_step_semantics)
+           kmeans_train_points, epochs, batch_size, row_align,
+           reference_step_semantics)
     prog = _PROGRAM_CACHE.get(key)
     if prog is None:
         model = make_model(model_type, n_categories)
@@ -62,6 +64,7 @@ def get_build_program(
             kmeans_iters=kmeans_iters,
             kmeans_train_points=kmeans_train_points,
             epochs=epochs, batch_size=batch_size,
+            row_align=row_align,
             reference_step_semantics=reference_step_semantics,
         )
         _PROGRAM_CACHE[key] = prog
@@ -92,6 +95,7 @@ def make_build_program(
     batch_size: int = 1024,
     chunk: int = 262144,
     pad_rows: int = 4096,
+    row_align: int = 1,
     reference_step_semantics: bool = False,
     normalize_search: bool = True,
 ):
@@ -104,6 +108,11 @@ def make_build_program(
     total_steps = epochs * steps_per_epoch
     chunk = min(chunk, n)
     n_chunks = (n + chunk - 1) // chunk
+    if row_align > 1:
+        n_total_aligned = -(-(n + n_categories * row_align) // row_align) * row_align
+        pad_rows_aligned = -(-pad_rows // row_align) * row_align
+    else:
+        n_total_aligned = pad_rows_aligned = 0
 
     def loss_fn(params, xb, yb):
         logits = model.apply({"params": params}, xb)
@@ -170,20 +179,45 @@ def make_build_program(
         _, pred = jax.lax.scan(predict_body, None, jnp.arange(n_chunks))
         pred = pred.reshape(-1)[:n]
 
-        # ---- 4. bucket store: stable sort by predicted bucket, CSR ----
+        # ---- 4. bucket store: stable sort by predicted bucket, CSR;
+        # bucket row ranges aligned to `row_align` blocks (sentinel gaps) so
+        # the Pallas probe kernel can DMA whole blocks ----
         order = jnp.argsort(pred, stable=True).astype(jnp.int32)
         data_search = data_search.astype(jnp.float32)
         if normalize_search:
             data_search = l2_normalize(data_search)
-        data_sorted = jnp.take(data_search, order, axis=0)
         counts = jax.ops.segment_sum(
             jnp.ones((n,), jnp.int32), pred, num_segments=n_categories
         ).astype(jnp.int32)
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
-        )
-        data_sorted = jnp.pad(data_sorted, ((0, pad_rows), (0, 0)))
-        ids_sorted = jnp.pad(order, (0, pad_rows), constant_values=-1)
+        if row_align <= 1:
+            offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+            )
+            data_sorted = jnp.pad(
+                jnp.take(data_search, order, axis=0), ((0, pad_rows), (0, 0))
+            )
+            ids_sorted = jnp.pad(order, (0, pad_rows), constant_values=-1)
+        else:
+            aligned = -(-counts // row_align) * row_align
+            offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)]
+            )
+            raw_offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+            )
+            sorted_labels = jnp.take(pred, order)
+            rank = (jnp.arange(n, dtype=jnp.int32)
+                    - jnp.take(raw_offsets, sorted_labels))
+            pos = jnp.take(offsets, sorted_labels) + rank
+            d_search = data_search.shape[1]
+            data_sorted = jnp.zeros((n_total_aligned + pad_rows_aligned, d_search),
+                                    jnp.float32)
+            data_sorted = data_sorted.at[pos].set(
+                jnp.take(data_search, order, axis=0)
+            )
+            ids_sorted = jnp.full((n_total_aligned + pad_rows_aligned,), -1,
+                                  jnp.int32)
+            ids_sorted = ids_sorted.at[pos].set(order)
 
         return BuildResult(
             centroids=centroids,

@@ -142,7 +142,10 @@ class LearnedIndex:
         data_search = l2_normalize(
             jax.device_put(jnp.asarray(data_search, jnp.float32))
         )
-        store = build_bucket_store(pred_categories, data_search, n_categories)
+        store = build_bucket_store(
+            pred_categories, data_search, n_categories,
+            row_align=cfg.row_align,
+        )
         # Value fetches, not just block_until_ready: on the remote-execution
         # backend of this environment only a fetch truly synchronizes, and
         # build time must not leak into the first search call.
@@ -198,6 +201,7 @@ class LearnedIndex:
             kmeans_train_points=cfg.kmeans_max_points_per_centroid * n_categories,
             epochs=epochs,
             batch_size=cfg.batch_size,
+            row_align=cfg.row_align,
             reference_step_semantics=cfg.reference_step_semantics,
         )
         result = program(data_nav, data_search, jax.random.PRNGKey(cfg.seed))
@@ -208,13 +212,18 @@ class LearnedIndex:
         build_time = time.perf_counter() - start
 
         classifier.params = result.params
+        # guaranteed tail slack past offsets[-1] (build.py pads with 4096
+        # sentinel rows, rounded up to the bucket alignment)
+        pad_rows = 4096
+        if cfg.row_align > 1:
+            pad_rows = -(-pad_rows // cfg.row_align) * cfg.row_align
         store = BucketStore(
             data_sorted=result.data_sorted,
             ids_sorted=result.ids_sorted,
             offsets=result.offsets,
             counts=result.counts,
             n=n,
-            pad_rows=int(result.ids_sorted.shape[0]) - n,
+            pad_rows=pad_rows,
         )
         mx, mn, mean = bucket_stats(store)
         log.info(
@@ -260,6 +269,17 @@ class LearnedIndex:
             jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None
         )
 
+        # backend: the fused Pallas kernel needs lane-aligned dims and a
+        # block-aligned store; "auto" uses it off-CPU whenever it applies
+        backend = scfg.backend
+        if backend == "auto":
+            pallas_ok = (
+                built.store.dim % 128 == 0
+                and built.store.data_sorted.shape[0] % scfg.pallas_mc == 0
+                and jax.devices()[0].platform != "cpu"
+            )
+            backend = "pallas" if pallas_ok else "xla"
+
         q = int(queries_nav.shape[0])
         n_slots = q * n_buckets
         # Static padding classes. data_chunk/max_chunks depend only on the
@@ -277,10 +297,11 @@ class LearnedIndex:
                            max(4 * n_slots // built.store.n_categories, 128))),
         )
 
+        pallas_max_chunks = max(-(-built.max_bucket // scfg.pallas_mc), 1)
         while True:
             query_chunk = min(scfg.query_chunk, qpb_pad)
             qpb_pad = -(-qpb_pad // query_chunk) * query_chunk
-            prog_key = (n_buckets, k, qpb_pad, data_chunk, max_chunks,
+            prog_key = (backend, n_buckets, k, qpb_pad, data_chunk, max_chunks,
                         query_chunk, scfg.compute_dtype)
             program = self._search_programs.get(prog_key)
             if program is None:
@@ -293,13 +314,19 @@ class LearnedIndex:
                     max_chunks=max_chunks,
                     query_chunk=query_chunk,
                     compute_dtype=compute_dtype,
+                    backend=backend,
+                    pallas_qc=scfg.pallas_qc,
+                    pallas_mc=scfg.pallas_mc,
+                    pallas_max_chunks=pallas_max_chunks,
                 )
                 self._search_programs[prog_key] = program
             dists, ids, max_slots = program(
                 built.classifier.params, queries_nav, queries_search, built.store
             )
             dists, ids, max_slots = jax.device_get((dists, ids, max_slots))
-            if int(max_slots) <= qpb_pad:
+            if backend == "pallas" or int(max_slots) <= qpb_pad:
+                # the pallas worklist is per-bucket block-padded internally —
+                # qpb_pad overflow cannot occur there
                 self._qpb_pads[(q, n_buckets)] = qpb_pad
                 break
             qpb_pad = size_class(int(max_slots))  # overflow: re-pad and rerun

@@ -199,6 +199,10 @@ def make_search_program(
     max_chunks: int,
     query_chunk: int = 512,
     compute_dtype=None,
+    backend: str = "xla",
+    pallas_qc: int = 256,
+    pallas_mc: int = 512,
+    pallas_max_chunks: int = 1,
 ):
     """One jitted end-to-end search program: MLP routing (top-k of logits —
     softmax is monotone so it is skipped, unlike the reference which
@@ -212,9 +216,23 @@ def make_search_program(
     def search_program(params, queries_nav, queries_search, store):
         logits = model.apply({"params": params}, queries_nav)
         _, probes = jax.lax.top_k(logits, n_buckets)
+        probes = probes.astype(jnp.int32)
         qs = l2_normalize(queries_search.astype(jnp.float32))
+        if backend == "pallas":
+            from tpulmi.ops.pallas_topk import pallas_probe_search
+
+            return pallas_probe_search(
+                probes,
+                qs,
+                store,
+                k=k,
+                qc=pallas_qc,
+                mc=pallas_mc,
+                max_chunks=pallas_max_chunks,
+                compute_dtype=compute_dtype or jnp.float32,
+            )
         return _probe_search_impl(
-            probes.astype(jnp.int32),
+            probes,
             qs,
             store,
             k=k,

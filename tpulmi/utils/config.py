@@ -35,6 +35,10 @@ class IndexConfig:
     # one compile, one dispatch. Disable to run the modular per-stage path.
     fused_build: bool = True
 
+    # Bucket rows are padded so every bucket starts on a multiple of this;
+    # must be a multiple of SearchConfig.pallas_mc for the Pallas kernel.
+    row_align: int = 2048
+
     # The reference's `train_batch` only applies one optimizer step per epoch
     # (on the final batch — `search/li/model.py:186-198`). We train properly
     # (a step per batch) by default; set True to mimic the reference's
@@ -65,6 +69,13 @@ class SearchConfig:
     # float32, so bfloat16 costs ~0.02% relative distance error for 2x
     # throughput. None = float32 (exact).
     compute_dtype: Optional[str] = "bfloat16"
+
+    # Probe backend: "pallas" (fused Pallas kernel, ~3x the XLA pipeline on
+    # TPU), "xla" (portable reference pipeline), or "auto" (pallas on TPU
+    # when the store layout allows, else xla).
+    backend: str = "auto"
+    pallas_qc: int = 256   # query-block rows per kernel tile
+    pallas_mc: int = 512   # data-block rows per kernel tile
 
     def to_dict(self) -> dict:
         return asdict(self)
