@@ -1,0 +1,123 @@
+"""tpulmi 10M benchmark — the reference's headline workload shape on one TPU.
+
+Reference headline (`/root/reference/README.md:16-30`, BASELINE.md): LAION-10M,
+122 leaves, MLP(256,128), bp=4 → 4 probed buckets, 10k queries, k=10 on one
+EPYC core: recall@10 90.883 %, search 514.91 s (19.4 QPS), build 29 538 s.
+
+This runs the identical workload shape — 10M corpus, 96-d navigation + 768-d
+search embeddings, 122 buckets, 4 probes, 10k queries — on synthetic
+clustered data (no S3 egress here). The 15.4 GB bf16 store is laid out on
+the host and uploaded once (`LearnedIndex.build_with_host_store`); ground
+truth comes from the streaming exact oracle and is disk-cached.
+
+Prints ONE JSON line in the same schema as bench.py.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from tpulmi.baseline import exact_knn_streamed  # noqa: E402
+from tpulmi.data import synthetic_dataset_big  # noqa: E402
+from tpulmi.index import LearnedIndex  # noqa: E402
+from tpulmi.utils.config import IndexConfig  # noqa: E402
+
+N = 10_000_000
+N_QUERIES = 10_000
+D_NAV = 96
+D_SEARCH = 768
+N_CATEGORIES = 122
+N_PROBES = 4          # reference bp=4 → int(0.04*122) = 4 probed buckets
+K = 10
+SEED = 2023
+
+REF_SEARCH_S = 514.91
+REF_QPS = N_QUERIES / REF_SEARCH_S
+REF_BUILD_S = 29_538.4
+RECALL_GATE = 0.90
+
+CACHE = ".bench_cache"
+
+
+def _ground_truth(ds):
+    path = os.path.join(CACHE, f"gt10m_n{N}_q{N_QUERIES}_s{SEED}_k{K}.npz")
+    if os.path.exists(path):
+        return np.load(path)["ids"]
+    t0 = time.perf_counter()
+    _, ids = exact_knn_streamed(ds["queries_search"], ds["data_search"], k=K)
+    ids = ids + 1
+    print(f"# ground truth in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    np.savez_compressed(path, ids=ids)
+    return ids
+
+
+def main():
+    t_gen = time.perf_counter()
+    ds = synthetic_dataset_big(
+        n=N, n_queries=N_QUERIES, d_nav=D_NAV, d_search=D_SEARCH,
+        n_clusters=N_CATEGORIES, seed=SEED, cache_dir=CACHE,
+    )
+    t_gen = time.perf_counter() - t_gen
+
+    gt_ids = _ground_truth(ds)
+
+    cfg = IndexConfig(
+        n_categories=N_CATEGORIES, epochs=8, lr=0.003, model_type="MLP-5",
+        batch_size=4096, seed=SEED,
+    )
+    li = LearnedIndex(cfg)
+    t_build = time.perf_counter()
+    li.build_with_host_store(ds["data_nav"], ds["data_search"], normalized=True)
+    t_build = time.perf_counter() - t_build
+
+    import jax.numpy as jnp
+    q_nav = jax.device_put(jnp.asarray(ds["queries_nav"]))
+    q_search = jax.device_put(jnp.asarray(ds["queries_search"]))
+    jax.device_get(q_search[-1, :1])
+
+    li.search(q_nav, q_search, n_buckets=N_PROBES, k=K)  # warmup/compile
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        dists, ids = li.search(q_nav, q_search, n_buckets=N_PROBES, k=K)
+        times.append(time.perf_counter() - start)
+    t_search = min(times)
+    qps = N_QUERIES / t_search
+
+    recall = float(np.mean([
+        len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
+    ]))
+    ok = recall >= RECALL_GATE
+    result = {
+        "metric": "search_qps_10k_queries_10M_bp4_recall>=0.90",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REF_QPS, 2) if ok else 0.0,
+        "recall_at_10": round(recall, 4),
+        "search_s_10k_queries": round(t_search, 4),
+        "build_s": round(t_build, 2),
+        "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
+        "ref_search_s": REF_SEARCH_S,
+        "ref_build_s": REF_BUILD_S,
+        "datagen_s": round(t_gen, 1),
+    }
+    print(json.dumps(result))
+    sys.stdout.flush()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    code = main()
+    os._exit(code)

@@ -8,15 +8,74 @@ rerank uses).
 """
 
 import time
+from functools import partial
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from tpulmi.ops.distance import exact_knn
+from tpulmi.ops.distance import SENTINEL_DIST, exact_knn
 from tpulmi.utils.logging import get_logger
 
 log = get_logger("tpulmi.baseline")
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
+def _merge_chunk(best_d, best_i, queries, block, base, valid, *, k):
+    sims = jax.lax.dot_general(
+        queries, block,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dists = 1.0 - sims
+    ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, block.shape[0]), 1)
+    dists = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, block.shape[0]), 1) < valid,
+        dists, SENTINEL_DIST,
+    )
+    cat_d = jnp.concatenate([best_d, dists], axis=1)
+    cat_i = jnp.concatenate(
+        [best_i, jnp.broadcast_to(ids, (queries.shape[0], block.shape[0]))],
+        axis=1,
+    )
+    neg_top, arg_top = jax.lax.top_k(-cat_d, k)
+    return -neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1)
+
+
+def exact_knn_streamed(
+    queries,
+    host_data,
+    k: int = 10,
+    chunk: int = 262144,
+    compute_dtype=jnp.bfloat16,
+    normalized: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact cosine k-NN over a corpus that lives in HOST memory: data blocks
+    stream to the device chunk by chunk with a running top-k merge, so the
+    device never holds more than one block. For corpora larger than HBM
+    (e.g. ground-truth generation at 10M x 768)."""
+    q = queries.shape[0]
+    queries_d = jnp.asarray(np.asarray(queries, np.float32))
+    if not normalized:
+        from tpulmi.ops.distance import l2_normalize
+
+        queries_d = l2_normalize(queries_d)
+    queries_d = queries_d.astype(compute_dtype)
+    best_d = jnp.full((q, k), SENTINEL_DIST, jnp.float32)
+    best_i = jnp.zeros((q, k), jnp.int32)
+    n = host_data.shape[0]
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = np.zeros((chunk, host_data.shape[1]), dtype=np.asarray(
+            host_data[:1]).dtype)
+        block[: hi - lo] = host_data[lo:hi]
+        block_d = jnp.asarray(block).astype(compute_dtype)
+        best_d, best_i = _merge_chunk(
+            best_d, best_i, queries_d, block_d,
+            jnp.int32(lo), jnp.int32(hi - lo), k=k,
+        )
+    return np.asarray(jax.device_get(best_d)), np.asarray(jax.device_get(best_i))
 
 
 class Baseline:

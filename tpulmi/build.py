@@ -49,11 +49,12 @@ def get_build_program(
     batch_size: int = 1024,
     row_align: int = 1,
     reference_step_semantics: bool = False,
+    include_store: bool = True,
 ):
     """Memoized fused build program for the given configuration."""
     key = (model_type, float(lr), n, d_nav, n_categories, kmeans_iters,
            kmeans_train_points, epochs, batch_size, row_align,
-           reference_step_semantics)
+           reference_step_semantics, include_store)
     prog = _PROGRAM_CACHE.get(key)
     if prog is None:
         model = make_model(model_type, n_categories)
@@ -66,6 +67,7 @@ def get_build_program(
             epochs=epochs, batch_size=batch_size,
             row_align=row_align,
             reference_step_semantics=reference_step_semantics,
+            include_store=include_store,
         )
         _PROGRAM_CACHE[key] = prog
     return prog
@@ -98,10 +100,16 @@ def make_build_program(
     row_align: int = 1,
     reference_step_semantics: bool = False,
     normalize_search: bool = True,
+    include_store: bool = True,
 ):
     """Build the fused program for fixed shapes. Returns a jitted function
     (data_nav, data_search, key) -> BuildResult. `data_search` is donated —
-    its buffer is reused for the bucket-sorted copy."""
+    its buffer is reused for the bucket-sorted copy.
+
+    ``include_store=False`` runs only the navigation stages (k-means,
+    training, predict) and returns empty store arrays — used when the
+    search-space store exceeds device memory and is laid out on the host
+    instead (see LearnedIndex host_store_build)."""
     n_train = min(n, kmeans_train_points)
     steps_per_epoch = 1 if reference_step_semantics else max(n // batch_size, 1)
     eff_batch = min(batch_size, n)
@@ -178,6 +186,21 @@ def make_build_program(
 
         _, pred = jax.lax.scan(predict_body, None, jnp.arange(n_chunks))
         pred = pred.reshape(-1)[:n]
+
+        if not include_store:
+            counts = jax.ops.segment_sum(
+                jnp.ones((n,), jnp.int32), pred, num_segments=n_categories
+            ).astype(jnp.int32)
+            offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+            )
+            empty_d = jnp.zeros((0, 1), jnp.float32)
+            empty_i = jnp.zeros((0,), jnp.int32)
+            return BuildResult(
+                centroids=centroids, params=params, losses=losses,
+                pred_categories=pred, data_sorted=empty_d, ids_sorted=empty_i,
+                offsets=offsets, counts=counts,
+            )
 
         # ---- 4. bucket store: stable sort by predicted bucket, CSR;
         # bucket row ranges aligned to `row_align` blocks (sentinel gaps) so

@@ -171,3 +171,102 @@ def synthetic_dataset(
         "queries_search": normalize(queries_search),
         "cluster_assignments": assignments,
     }
+
+
+def synthetic_dataset_big(
+    n: int,
+    n_queries: int,
+    d_nav: int = 96,
+    d_search: int = 768,
+    n_clusters: int = 122,
+    seed: int = 2023,
+    cluster_std: float = 0.9,
+    skew: float = 1.5,
+    cache_dir: str = ".bench_cache",
+    chunk: int = 1_000_000,
+) -> Dict[str, np.ndarray]:
+    """Multi-million-row variant of `synthetic_dataset`: the search-space
+    vectors are generated **on device** in chunks (a single host core would
+    take tens of minutes) and downloaded to a host bfloat16 buffer; the
+    navigation view stays float32. Results are cached on disk (bf16 stored
+    as uint16 bits) so repeat benchmark runs skip generation entirely.
+
+    All views are L2-normalized. Statistically matches `synthetic_dataset`'s
+    construction (skewed clusters, linked nav/search views) but uses a
+    per-chunk RNG stream, so exact values differ from the small generator.
+    """
+    import ml_dtypes
+
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"big_n{n}_q{n_queries}_dn{d_nav}_ds{d_search}_c{n_clusters}_s{seed}"
+    paths = {k: os.path.join(cache_dir, f"{tag}_{k}.npy")
+             for k in ("data_nav", "data_search", "queries_nav",
+                       "queries_search")}
+    if all(os.path.exists(p) for p in paths.values()):
+        out = {
+            "data_nav": np.load(paths["data_nav"], mmap_mode="r"),
+            "data_search": np.load(
+                paths["data_search"], mmap_mode="r"
+            ).view(ml_dtypes.bfloat16),
+            "queries_nav": np.load(paths["queries_nav"]),
+            "queries_search": np.load(paths["queries_search"]),
+        }
+        log.info("loaded cached big dataset %s", tag)
+        return out
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    weights = rng.random(n_clusters) ** skew
+    weights /= weights.sum()
+    assignments = rng.choice(n_clusters, size=n, p=weights).astype(np.int32)
+    q_assign = rng.choice(n_clusters, size=n_queries, p=weights).astype(np.int32)
+
+    centers = rng.normal(size=(n_clusters, d_search)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    proj = rng.normal(size=(d_search, d_nav)).astype(np.float32) / np.sqrt(d_search)
+    noise_scale = cluster_std / np.sqrt(d_search)
+
+    centers_d = jax.device_put(jnp.asarray(centers))
+    proj_d = jax.device_put(jnp.asarray(proj))
+
+    def gen_chunk(key, assign_chunk):
+        x = jnp.take(centers_d, assign_chunk, axis=0)
+        x = x + noise_scale * jax.random.normal(key, x.shape, jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        nav = x @ proj_d
+        nav = nav / jnp.maximum(jnp.linalg.norm(nav, axis=1, keepdims=True), 1e-12)
+        return x.astype(jnp.bfloat16), nav
+
+    gen_chunk = jax.jit(gen_chunk)
+    key = jax.random.PRNGKey(seed)
+
+    data_search = np.empty((n, d_search), dtype=ml_dtypes.bfloat16)
+    data_nav = np.empty((n, d_nav), dtype=np.float32)
+    for i, lo in enumerate(range(0, n, chunk)):
+        hi = min(lo + chunk, n)
+        key, sub = jax.random.split(key)
+        x, nav = gen_chunk(sub, jnp.asarray(assignments[lo:hi]))
+        data_search[lo:hi] = np.asarray(jax.device_get(x))
+        data_nav[lo:hi] = np.asarray(jax.device_get(nav))
+        log.info("big datagen: %d/%d rows", hi, n)
+
+    key, sub = jax.random.split(key)
+    qx, qnav = gen_chunk(sub, jnp.asarray(q_assign))
+    queries_search = np.asarray(jax.device_get(qx), dtype=np.float32)
+    queries_search /= np.maximum(
+        np.linalg.norm(queries_search, axis=1, keepdims=True), 1e-12
+    )
+    queries_nav = np.asarray(jax.device_get(qnav))
+
+    np.save(paths["data_search"], data_search.view(np.uint16))
+    np.save(paths["data_nav"], data_nav)
+    np.save(paths["queries_nav"], queries_nav)
+    np.save(paths["queries_search"], queries_search.astype(np.float32))
+    return {
+        "data_nav": data_nav,
+        "data_search": data_search,
+        "queries_nav": queries_nav,
+        "queries_search": queries_search.astype(np.float32),
+    }

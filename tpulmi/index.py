@@ -241,6 +241,112 @@ class LearnedIndex:
         )
         return np.asarray(jax.device_get(pred_categories)), build_time
 
+    # ------------------------------------------------------ build (host store)
+    def build_with_host_store(
+        self,
+        data_nav,
+        data_search_host,
+        normalized: bool = False,
+        store_dtype: str = "bfloat16",
+    ) -> Tuple[np.ndarray, float]:
+        """Large-scale build: navigation stages (k-means, MLP, predict) run
+        on device, but the search-space store is laid out on the HOST and
+        uploaded once — for corpora whose store plus source copy exceed HBM
+        (e.g. 10M x 768: a 15.4 GB bf16 store on a 16 GB v5e leaves no room
+        for the device-side sort's second copy).
+
+        `data_search_host` stays a host array (float16/32/bf16). The store
+        is written in bucket-sorted, `row_align`-aligned order directly into
+        a host buffer of the target dtype, so peak device memory is just the
+        final store."""
+        import ml_dtypes
+
+        cfg = self.config
+        start = time.perf_counter()
+        n_categories = cfg.n_categories
+        data_nav = jax.device_put(jnp.asarray(data_nav, jnp.float32))
+        n, d_nav = int(data_nav.shape[0]), int(data_nav.shape[1])
+        d = int(data_search_host.shape[1])
+        if n < n_categories:
+            n_categories = max(n // 5, 2)
+
+        from tpulmi.build import get_build_program
+
+        classifier = BucketClassifier(
+            input_dim=d_nav, n_classes=n_categories, lr=cfg.lr,
+            model_type=cfg.model_type, seed=cfg.seed, initialize=False,
+        )
+        program = get_build_program(
+            model_type=cfg.model_type, lr=cfg.lr, n=n, d_nav=d_nav,
+            n_categories=n_categories, kmeans_iters=cfg.kmeans_iters,
+            kmeans_train_points=cfg.kmeans_max_points_per_centroid * n_categories,
+            epochs=cfg.epochs, batch_size=cfg.batch_size,
+            row_align=cfg.row_align,
+            reference_step_semantics=cfg.reference_step_semantics,
+            include_store=False,
+        )
+        result = program(
+            data_nav, jnp.zeros((0, 1), jnp.float32), jax.random.PRNGKey(cfg.seed)
+        )
+        classifier.params = result.params
+        pred = np.asarray(jax.device_get(result.pred_categories))
+        losses = jax.device_get(result.losses)
+        t_nav = time.perf_counter() - start
+        log.info("host-store build: nav stages %.1fs (final loss %.4f)",
+                 t_nav, float(losses[-1]))
+
+        # ---- host-side bucket-sorted aligned layout ----
+        align = max(cfg.row_align, 1)
+        dtype = ml_dtypes.bfloat16 if store_dtype == "bfloat16" else np.dtype(store_dtype)
+        counts = np.bincount(pred, minlength=n_categories).astype(np.int32)
+        aligned = -(-counts // align) * align
+        offsets = np.concatenate([[0], np.cumsum(aligned)]).astype(np.int32)
+        pad_rows = -(-4096 // align) * align
+        n_total = int(-(-(n + n_categories * align) // align) * align)
+
+        order = np.argsort(pred, kind="stable").astype(np.int32)
+        store_host = np.zeros((n_total + pad_rows, d), dtype=dtype)
+        ids_host = np.full((n_total + pad_rows,), -1, dtype=np.int32)
+        raw_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        sorted_labels = pred[order]
+        rank = np.arange(n, dtype=np.int64) - raw_offsets[sorted_labels]
+        pos = offsets[sorted_labels].astype(np.int64) + rank
+        chunk = 1_000_000
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            rows = np.asarray(data_search_host[order[lo:hi]], dtype=np.float32)
+            if not normalized:
+                rows /= np.maximum(
+                    np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
+                )
+            store_host[pos[lo:hi]] = rows.astype(dtype)
+            ids_host[pos[lo:hi]] = order[lo:hi]
+        t_layout = time.perf_counter() - start - t_nav
+        log.info("host-store build: layout %.1fs (%d rows -> %d aligned)",
+                 t_layout, n, n_total)
+
+        store = BucketStore(
+            data_sorted=jax.device_put(store_host),
+            ids_sorted=jax.device_put(ids_host),
+            offsets=jax.device_put(jnp.asarray(offsets)),
+            counts=jax.device_put(jnp.asarray(counts)),
+            n=n,
+            pad_rows=pad_rows,
+        )
+        jax.device_get(store.data_sorted[-1, :1])
+        build_time = time.perf_counter() - start
+        log.info("host-store build: total %.1fs (upload %.1fs)",
+                 build_time, build_time - t_nav - t_layout)
+        self.built = BuiltIndex(
+            centroids=result.centroids,
+            classifier=classifier,
+            store=store,
+            pred_categories=jnp.asarray(pred),
+            config=cfg,
+            max_bucket=int(counts.max()) if counts.size else 0,
+        )
+        return pred, build_time
+
     # ----------------------------------------------------------------- search
     def search(
         self,
