@@ -32,6 +32,17 @@ def normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     return x / np.maximum(norms, eps)
 
 
+def save_as_pickle(filename: str, obj) -> None:
+    """Pickle an object to disk (reference `search/li/utils.py:46-60`).
+    Prefer `LearnedIndex.save` — the orbax checkpoint has a load path and
+    doesn't capture device buffers in a fragile binary format."""
+    import pickle
+
+    os.makedirs(Path(filename).parent or Path("."), exist_ok=True)
+    with open(filename, "wb") as f:
+        pickle.dump(obj, f)
+
+
 def download(src: str, dst: str) -> None:
     """Fetch `src` to `dst` unless it already exists (reference
     `search/li/utils.py:63-68`)."""

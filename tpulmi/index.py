@@ -442,6 +442,33 @@ class LearnedIndex:
         ids = np.where(ids < 0, 0, ids)
         return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
 
+    def search_single(
+        self,
+        queries_nav,
+        queries_search=None,
+        k: int = 10,
+        search_config: Optional[SearchConfig] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Probe only each query's single most-likely bucket — the
+        reference's `search_single` fast path (`search/li/LearnedIndex.py:103`,
+        used when bp resolves to one bucket, `search/search.py:129-140`)."""
+        return self.search(
+            queries_nav, queries_search, n_buckets=1, k=k,
+            search_config=search_config,
+        )
+
+    def cluster(self, data, n_clusters: int):
+        """Cluster `data` with the TPU k-means; returns (centroids, labels) —
+        the reference's `cluster()` contract (`search/li/LearnedIndex.py:242-282`,
+        faiss.Kmeans replaced by MXU Lloyd iterations)."""
+        return kmeans(
+            jnp.asarray(data, jnp.float32),
+            n_clusters,
+            iters=self.config.kmeans_iters,
+            seed=self.config.seed,
+            max_points_per_centroid=self.config.kmeans_max_points_per_centroid,
+        )
+
     # ------------------------------------------------------------ checkpoint
     def save(self, path: str) -> None:
         """Checkpoint the built index (centroids, classifier params, bucket

@@ -54,6 +54,32 @@ def pairwise_cosine(
     return 1.0 - sims
 
 
+def pairwise_cosine_threshold(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    threshold: jnp.ndarray,
+    *,
+    normalized: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Cosine distances with per-row threshold pruning: entries at or above
+    ``threshold[i]`` are replaced by the sentinel.
+
+    API-parity port of the reference's `pairwise_cosine_threshold`
+    (`search/li/utils.py:14-43`), which *compacts* the surviving columns to
+    skip CPU work downstream. Dynamic compaction would force data-dependent
+    shapes under XLA, so here pruning is masking: pruned entries become the
+    sentinel and lose every downstream `top_k` — identical results, and on
+    TPU the FLOP savings the reference chased are irrelevant next to MXU
+    throughput (SURVEY.md §7 "threshold pruning without dynamic shapes").
+    """
+    dists = pairwise_cosine(
+        x, y, normalized=normalized, compute_dtype=compute_dtype
+    )
+    threshold = jnp.asarray(threshold, jnp.float32).reshape(-1, 1)
+    return jnp.where(dists < threshold, dists, SENTINEL_DIST)
+
+
 @partial(jax.jit, static_argnames=("k", "chunk", "normalized"))
 def _exact_knn_impl(queries, data, *, k: int, chunk: int, normalized: bool):
     nq = queries.shape[0]
