@@ -370,6 +370,18 @@ class LearnedIndex:
             queries_search = queries_nav
         queries_search = jnp.asarray(queries_search, jnp.float32)
 
+        # very large query sets: split into fixed batches (bounds the device
+        # working set and reuses one compiled program per batch shape)
+        bq = scfg.batch_queries
+        if bq and queries_nav.shape[0] > bq:
+            parts = [
+                self.search(queries_nav[lo:lo + bq], queries_search[lo:lo + bq],
+                            n_buckets=n_buckets, k=k, search_config=scfg)
+                for lo in range(0, queries_nav.shape[0], bq)
+            ]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+
         n_buckets = min(n_buckets, built.store.n_categories)
         compute_dtype = (
             jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None

@@ -26,6 +26,16 @@ def get_logger(name: str) -> logging.Logger:
     return logging.getLogger(name)
 
 
+class LoggerMixin:
+    """Per-class logger property — the reference's ``Logger`` mixin contract
+    (`search/li/Logger.py:13-18`), minus its bug of reconfiguring the root
+    logger on every property access."""
+
+    @property
+    def logger(self) -> logging.Logger:
+        return get_logger(f"{type(self).__module__}.{type(self).__name__}")
+
+
 @contextmanager
 def log_duration(logger: logging.Logger, phase: str):
     """Wall-clock a phase and log it. Caller is responsible for calling
