@@ -76,6 +76,10 @@ def main():
     cfg = IndexConfig(
         n_categories=N_CATEGORIES, epochs=8, lr=0.003, model_type="MLP-5",
         batch_size=4096, seed=SEED,
+        # the 10M bf16 store is ~15.4 GB of the 16 GB HBM: keep bucket
+        # alignment (and thus padding overhead) minimal; 512 still satisfies
+        # the Pallas kernel's row_align % mc == 0
+        row_align=512,
     )
     li = LearnedIndex(cfg)
     t_build = time.perf_counter()

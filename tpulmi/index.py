@@ -291,9 +291,16 @@ class LearnedIndex:
         classifier.params = result.params
         pred = np.asarray(jax.device_get(result.pred_categories))
         losses = jax.device_get(result.losses)
+        centroids = result.centroids
         t_nav = time.perf_counter() - start
         log.info("host-store build: nav stages %.1fs (final loss %.4f)",
                  t_nav, float(losses[-1]))
+        # free the device-side navigation data and nav-build outputs NOW —
+        # the store upload below needs nearly all of HBM (15.5 GB at 10M)
+        del data_nav, result
+        import gc
+
+        gc.collect()
 
         # ---- host-side bucket-sorted aligned layout ----
         align = max(cfg.row_align, 1)
@@ -338,7 +345,7 @@ class LearnedIndex:
         log.info("host-store build: total %.1fs (upload %.1fs)",
                  build_time, build_time - t_nav - t_layout)
         self.built = BuiltIndex(
-            centroids=result.centroids,
+            centroids=centroids,
             classifier=classifier,
             store=store,
             pred_categories=jnp.asarray(pred),
