@@ -25,6 +25,7 @@ full-resolution "search" space (e.g. clip768) for the exact rerank.
 
 from tpulmi.index import LearnedIndex, BuiltIndex
 from tpulmi.baseline import Baseline
+from tpulmi.hierarchical import HierarchicalConfig, HierarchicalIndex
 from tpulmi.utils.config import IndexConfig, SearchConfig
 
 __version__ = "0.1.0"
@@ -33,6 +34,8 @@ __all__ = [
     "LearnedIndex",
     "BuiltIndex",
     "Baseline",
+    "HierarchicalIndex",
+    "HierarchicalConfig",
     "IndexConfig",
     "SearchConfig",
     "__version__",

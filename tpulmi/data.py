@@ -12,7 +12,7 @@ CI downloads the real 300K subset; `.github/workflows/ci.yml:50-60`).
 
 import os
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -33,7 +33,7 @@ from tpulmi.buckets import BucketStore, build_bucket_store, bucket_stats
 from tpulmi.models.train import BucketClassifier
 from tpulmi.ops.distance import l2_normalize
 from tpulmi.ops.kmeans import kmeans
-from tpulmi.search import make_search_program, probe_search, size_class
+from tpulmi.search import make_search_program, size_class
 from tpulmi.utils.config import IndexConfig, SearchConfig
 from tpulmi.utils.logging import get_logger
 

@@ -12,8 +12,8 @@ learning rate × model type × epochs × n_categories, plus probe budgets.
 
 import itertools
 import time
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
 
 import numpy as np
 
