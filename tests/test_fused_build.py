@@ -38,6 +38,27 @@ def test_fused_build_recall_parity(synthetic_small):
     assert abs(recalls[True] - recalls[False]) < 0.05
 
 
+def test_reference_step_semantics_build(synthetic_small):
+    """The reference's one-optimizer-step-per-epoch training bug is
+    reproducible behind a flag (SURVEY.md §3.6): the build completes and the
+    index still works, just with a weaker router."""
+    cfg = IndexConfig(n_categories=24, epochs=20, lr=0.01, model_type="MLP-5",
+                      reference_step_semantics=True)
+    li = LearnedIndex(cfg)
+    pred, _ = li.build(synthetic_small["data_nav"], synthetic_small["data_search"])
+    _, ids = li.search(
+        synthetic_small["queries_nav"], synthetic_small["queries_search"],
+        n_buckets=24, k=10,
+    )
+    gt = Baseline().search(
+        synthetic_small["queries_search"], synthetic_small["data_search"], k=10
+    )[1]
+    # probing ALL buckets is exhaustive regardless of router quality (the
+    # ~1% slack is bf16 distance rounding swapping near-ties vs the f32
+    # oracle, not missed candidates)
+    assert _recall(ids, gt) > 0.98
+
+
 def test_fused_build_store_consistent(synthetic_small):
     cfg = IndexConfig(n_categories=24, epochs=4, lr=0.003, fused_build=True,
                       row_align=256)
