@@ -1,0 +1,63 @@
+"""Large-corpus paths at small scale: host-staged store build and the
+streaming exact oracle."""
+
+import ml_dtypes
+import numpy as np
+import pytest
+
+from tpulmi.baseline import exact_knn_streamed
+from tpulmi.index import LearnedIndex
+from tpulmi.ops.distance import exact_knn
+from tpulmi.utils.config import IndexConfig
+
+
+def test_build_with_host_store_matches_device_build(synthetic_small):
+    host_bf16 = synthetic_small["data_search"].astype(ml_dtypes.bfloat16)
+    cfg = IndexConfig(n_categories=24, epochs=6, lr=0.003, row_align=256)
+
+    li_host = LearnedIndex(cfg)
+    pred_h, bt = li_host.build_with_host_store(
+        synthetic_small["data_nav"], host_bf16, normalized=True
+    )
+    assert bt > 0
+    li_dev = LearnedIndex(cfg)
+    pred_d, _ = li_dev.build(
+        synthetic_small["data_nav"], synthetic_small["data_search"]
+    )
+    # same nav pipeline -> same partition
+    assert (pred_h == pred_d).mean() > 0.999
+
+    d_h, i_h = li_host.search(
+        synthetic_small["queries_nav"], synthetic_small["queries_search"],
+        n_buckets=4, k=10,
+    )
+    d_d, i_d = li_dev.search(
+        synthetic_small["queries_nav"], synthetic_small["queries_search"],
+        n_buckets=4, k=10,
+    )
+    # identical routing; results equal up to bf16-vs-f32 store rounding
+    assert (i_h == i_d).mean() > 0.97
+    np.testing.assert_allclose(d_h, d_d, atol=2e-2)
+
+
+def test_exact_knn_streamed_matches_exact(rng):
+    data = rng.normal(size=(3000, 64)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(40, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    import jax.numpy as jnp
+
+    d_s, i_s = exact_knn_streamed(queries, data, k=10, chunk=512,
+                                  compute_dtype=jnp.float32)
+    d_e, i_e = exact_knn(queries, data, k=10, normalized=True)
+    np.testing.assert_allclose(d_s, np.asarray(d_e), atol=1e-5)
+    np.testing.assert_array_equal(i_s, np.asarray(i_e))
+
+
+def test_exact_knn_streamed_bf16_corpus(rng):
+    data = rng.normal(size=(1000, 64)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    host = data.astype(ml_dtypes.bfloat16)
+    queries = data[:8]  # self-queries: nearest neighbor must be itself
+    _, ids = exact_knn_streamed(queries, host, k=1, chunk=256)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(8))
