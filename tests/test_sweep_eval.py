@@ -1,6 +1,7 @@
 """Sweep driver + evaluation module, end to end on tiny data."""
 
 import numpy as np
+import pytest
 
 from tpulmi.data import synthetic_dataset
 from tpulmi.evaluate import recall_at_k
@@ -25,6 +26,17 @@ def test_run_sweep_tiny(tmp_path):
     results_to_csv(results, str(csv_path))
     lines = csv_path.read_text().strip().splitlines()
     assert len(lines) == 3 and lines[0].startswith("lr,")
+
+
+def test_plot_results(tmp_path):
+    pytest.importorskip("matplotlib")
+    from tpulmi.evaluate import EvalRow, plot_results
+
+    rows = [EvalRow("A", "p1", "d", "s", 1.0, 0.5, 0.91, 2000.0),
+            EvalRow("A", "p2", "d", "s", 1.0, 0.2, 0.85, 5000.0)]
+    out = tmp_path / "pareto.png"
+    plot_results(rows, str(out))
+    assert out.exists() and out.stat().st_size > 1000
 
 
 def test_recall_at_k():
