@@ -21,7 +21,7 @@ from tpulmi.utils.logging import get_logger
 log = get_logger("tpulmi.baseline")
 
 
-@partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("k",))
 def _merge_chunk(best_d, best_i, queries, block, base, valid, *, k):
     sims = jax.lax.dot_general(
         queries, block,

@@ -103,8 +103,7 @@ def make_build_program(
     include_store: bool = True,
 ):
     """Build the fused program for fixed shapes. Returns a jitted function
-    (data_nav, data_search, key) -> BuildResult. `data_search` is donated —
-    its buffer is reused for the bucket-sorted copy.
+    (data_nav, data_search, key) -> BuildResult.
 
     ``include_store=False`` runs only the navigation stages (k-means,
     training, predict) and returns empty store arrays — used when the
@@ -126,7 +125,12 @@ def make_build_program(
         logits = model.apply({"params": params}, xb)
         return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
 
-    @partial(jax.jit, donate_argnums=(1,))
+    # NOTE: donating data_search (its buffer could be reused for the sorted
+    # copy) is rejected by both the CPU backend and this environment's
+    # remote TPU backend, so it is not attempted; the device-side build is
+    # therefore bounded by 2x the store size, and larger-than-half-HBM
+    # corpora go through LearnedIndex.build_with_host_store instead.
+    @jax.jit
     def build_program(data_nav, data_search, key):
         kkey, ikey, tkey = jax.random.split(key, 3)
         data_nav = data_nav.astype(jnp.float32)
