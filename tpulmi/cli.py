@@ -60,6 +60,12 @@ def run(
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
     n_buckets_list = n_buckets_from_percentage(list(buckets_perc), n_categories)
+    if index_type == "learned-index" and not n_buckets_list:
+        log.warning(
+            "-bp %s of %d categories resolves to zero probed buckets "
+            "(reference semantics floor the percentage); no search will run",
+            list(buckets_perc), n_categories,
+        )
     log.info(
         "run: kind=%s key=%s size=%s k=%d index=%s buckets=%s categories=%d "
         "epochs=%d lr=%g model=%s preprocess=%s",

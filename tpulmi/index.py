@@ -544,7 +544,24 @@ class LearnedIndex:
         with open(path / "meta.json") as f:
             meta = json.load(f)
         ckpt = ocp.StandardCheckpointer()
-        state = ckpt.restore(path / "state")
+        try:
+            state = ckpt.restore(path / "state")
+        except ValueError:
+            # Checkpoint written on a different backend (e.g. built on TPU,
+            # restored on CPU): orbax replays the saved device sharding and
+            # fails. Rebuild the target from metadata with local-device
+            # sharding instead.
+            from jax.sharding import SingleDeviceSharding
+
+            dev = jax.devices()[0]
+            meta_tree = ckpt.metadata(path / "state").item_metadata
+            target = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(
+                    m.shape, m.dtype, sharding=SingleDeviceSharding(dev)
+                ),
+                dict(meta_tree.tree) if hasattr(meta_tree, "tree") else meta_tree,
+            )
+            state = ckpt.restore(path / "state", target)
 
         cfg = IndexConfig(**meta["config"])
         index = cls(cfg)
