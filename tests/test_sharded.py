@@ -77,6 +77,22 @@ def test_shard_store_partition(rng):
         np.testing.assert_array_equal(cnts[s, : hi - lo], counts[lo:hi])
 
 
+def test_sharded_with_empty_shards(rng, mesh8):
+    """Fewer buckets than shards: trailing shards own only padding buckets
+    and must contribute nothing but sentinels."""
+    data, queries, labels, store = _setup(rng, n=800, c=5, q=16)
+    sstore = shard_store(store, 8)  # ceil(5/8)=1 bucket per shard, 3 empty
+    probes = np.stack(
+        [rng.permutation(5)[:2] for _ in range(16)]
+    ).astype(np.int32)
+    d_single, _ = probe_search(probes, queries, store, k=10)
+    d_shard, i_shard = sharded_probe_search(probes, queries, sstore, mesh8, k=10)
+    np.testing.assert_allclose(
+        np.asarray(d_shard), np.asarray(d_single), atol=1e-5
+    )
+    assert np.asarray(i_shard).max() < 800
+
+
 def test_dp_train_step(rng, mesh8):
     model = make_model("MLP-5", n_classes=6)
     tx = optax.adam(1e-2)
