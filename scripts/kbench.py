@@ -1,0 +1,176 @@
+"""Probe-kernel microbenchmark: device-time roofline for the Pallas kernel.
+
+Generates a bucket store ON DEVICE (no relay upload), runs the fused Pallas
+probe kernel and the XLA pipeline across (qc, mc) tilings, and reports
+per-config wall time, achieved TFLOPS, MFU vs the chip's bf16 peak, and HBM
+roofline utilization. Loops ITERS dispatches back-to-back inside one timing
+window so the ~65 ms per-dispatch relay latency of this environment
+amortizes away and the number approaches true device time.
+
+Usage: PYTHONPATH=. python scripts/kbench.py [N_ROWS] [--xla] [--int8]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+
+import jax                      # noqa: E402
+import jax.numpy as jnp         # noqa: E402
+import numpy as np              # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from tpulmi.buckets import BucketStore           # noqa: E402
+from tpulmi.ops.pallas_topk import pallas_probe_search   # noqa: E402
+from tpulmi.ops.quantize import quantize_store   # noqa: E402
+from tpulmi.search import _probe_search_impl     # noqa: E402
+
+# v5e peaks (one chip): 197 bf16 TFLOPS / 394 int8 TOPS, 819 GB/s HBM
+PEAK_BF16 = 197e12
+PEAK_HBM = 819e9
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 2_000_000
+Q, P, K = 10_000, 7, 10
+D = 768
+C = 122
+ITERS = 8
+SEED = 0
+
+
+def make_store(n, c, d, align, dtype=jnp.bfloat16):
+    """Equal-size, block-aligned buckets of unit rows, generated on device
+    (n is rounded down to c * align granularity)."""
+    rows_per = max(n // c // align, 1) * align
+    n = rows_per * c
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.normal(key, (n, d), jnp.bfloat16).astype(jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(dtype)
+
+    data = gen(jax.random.PRNGKey(SEED))
+    pad = align
+    data = jnp.concatenate([data, jnp.zeros((pad, d), dtype)])
+    ids = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.full((pad,), -1, jnp.int32),
+    ])
+    counts = jnp.full((c,), rows_per, jnp.int32)
+    offsets = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts).astype(jnp.int32),
+    ])
+    return BucketStore(data_sorted=data, ids_sorted=ids, offsets=offsets,
+                       counts=counts, n=n, pad_rows=pad, row_align=align)
+
+
+def work_model(store, probes, qc, mc):
+    """FLOPs and HBM bytes the kernel must move for this workload."""
+    counts = np.asarray(jax.device_get(store.counts))
+    slots = np.bincount(np.asarray(probes).reshape(-1),
+                        minlength=store.n_categories)
+    qblocks = np.ceil(slots / qc)
+    rows_pad = np.ceil(counts / mc) * mc
+    flops = float(np.sum(qblocks * qc * rows_pad) * D * 2)
+    elem = store.data_sorted.dtype.itemsize
+    bytes_hbm = float(np.sum(qblocks * rows_pad) * D * elem)
+    return flops, bytes_hbm
+
+
+def bench(fn, out_holder):
+    # warmup/compile
+    out = fn()
+    jax.device_get(out[0].ravel()[-1:])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn()
+        jax.device_get(out[0].ravel()[-1:])
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    out_holder.append(out)
+    return best
+
+
+def main():
+    args = set(sys.argv[2:]) | ({sys.argv[1]} if len(sys.argv) > 1 else set())
+    align = 1024
+    store = make_store(N, C, D, align)
+    n_actual = store.n
+    max_bucket = n_actual // C
+    if "--int8" in args:
+        store = quantize_store(store)
+        jax.device_get(store.data_sorted[-1, :1])
+
+    rng = np.random.default_rng(SEED)
+    probes = jnp.asarray(np.stack(
+        [rng.permutation(C)[:P] for _ in range(Q)]
+    ).astype(np.int32))
+    queries = jax.random.normal(jax.random.PRNGKey(1), (Q, D), jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+    jax.device_get(queries[-1, :1])
+
+    results = {}
+    outs = []
+    configs = [(256, 512), (512, 512), (256, 1024), (512, 1024), (1024, 512)]
+    for qc, mc in configs:
+        if align % mc:
+            continue
+        flops, bytes_hbm = work_model(store, probes, qc, mc)
+
+        def run(qc=qc, mc=mc):
+            return pallas_probe_search(
+                probes, queries, store, k=K, qc=qc, mc=mc,
+                max_chunks=-(-max_bucket // mc),
+                compute_dtype=jnp.bfloat16,
+            )
+
+        t = bench(run, outs)
+        results[f"pallas_qc{qc}_mc{mc}"] = {
+            "s": round(t, 4),
+            "tflops": round(flops / t / 1e12, 1),
+            "mfu": round(flops / t / PEAK_BF16, 3),
+            "hbm_frac": round(bytes_hbm / t / PEAK_HBM, 3),
+        }
+        print(json.dumps({f"pallas_qc{qc}_mc{mc}": results[f"pallas_qc{qc}_mc{mc}"]}),
+              flush=True)
+
+    if "--xla" in args:
+        flops, bytes_hbm = work_model(store, probes, 512, 2048)
+
+        def run_xla():
+            return _probe_search_impl(
+                probes, queries, store, k=K,
+                qpb_pad=1024, data_chunk=2048,
+                max_chunks=-(-max_bucket // 2048), query_chunk=512,
+                compute_dtype=jnp.bfloat16,
+            )
+
+        t = bench(run_xla, outs)
+        results["xla"] = {
+            "s": round(t, 4),
+            "tflops": round(flops / t / 1e12, 1),
+            "mfu": round(flops / t / PEAK_BF16, 3),
+        }
+        print(json.dumps({"xla": results["xla"]}), flush=True)
+
+    # agreement check across configs
+    d0 = np.asarray(jax.device_get(outs[0][0]))
+    for o in outs[1:]:
+        di = np.asarray(jax.device_get(o[0]))
+        if not np.allclose(d0, di, atol=2e-3):
+            print(f"# WARNING: config results differ (max {np.abs(d0-di).max()})",
+                  file=sys.stderr)
+    print(json.dumps({"n": n_actual, "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)

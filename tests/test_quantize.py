@@ -45,3 +45,100 @@ def test_topk_agreement(rng):
         for i in range(64)
     ])
     assert overlap > 0.9
+
+
+def test_quantized_store_probe_search(rng):
+    """A quantized store drops into the XLA probe pipeline; distances match
+    full precision to the documented ~1e-3 cosine error and the top-k sets
+    overlap ≥ 9/10."""
+    from tpulmi.buckets import build_bucket_store
+    from tpulmi.ops.quantize import quantize_store
+    from tpulmi.search import probe_search
+
+    n, d, c, q = 3000, 128, 11, 40
+    data = _unit(rng, n, d)
+    queries = _unit(rng, q, d)
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+    store = build_bucket_store(labels, data, c)
+    qstore = quantize_store(store)
+    assert qstore.is_quantized and str(qstore.data_sorted.dtype) == "int8"
+
+    probes = np.stack(
+        [rng.permutation(c)[:4] for _ in range(q)]
+    ).astype(np.int32)
+    d_f, i_f = probe_search(probes, queries, store, k=10)
+    d_q, i_q = probe_search(probes, queries, qstore, k=10)
+    np.testing.assert_allclose(np.asarray(d_q), np.asarray(d_f), atol=5e-3)
+    overlap = np.mean([
+        len(set(np.asarray(i_q)[i]) & set(np.asarray(i_f)[i])) / 10
+        for i in range(q)
+    ])
+    assert overlap >= 0.9
+
+
+def test_quantized_store_pallas_matches_xla(rng):
+    """The Pallas kernel's int8 path (codes dequantized in VMEM, per-row
+    scales on the sim columns) must agree with the XLA int8 pipeline."""
+    import jax.numpy as jnp
+
+    from tpulmi.buckets import build_bucket_store
+    from tpulmi.ops.pallas_topk import pallas_probe_search
+    from tpulmi.ops.quantize import quantize_store
+    from tpulmi.search import probe_search
+
+    n, d, c, q, mc = 3000, 128, 9, 32, 256
+    data = _unit(rng, n, d)
+    queries = _unit(rng, q, d)
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+    store = quantize_store(
+        build_bucket_store(labels, data, c, pad_rows=mc, row_align=mc)
+    )
+    probes = np.stack(
+        [rng.permutation(c)[:3] for _ in range(q)]
+    ).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        k=10, qc=128, mc=mc, max_chunks=-(-max_bucket // mc),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    d_x, i_x = probe_search(probes, queries, store, k=10, data_chunk=mc)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+    assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
+
+
+def test_index_quantize_and_rerank(rng):
+    """End-to-end: quantize a built index in place, attach the host corpus,
+    and verify the reranked distances are exact (full-precision) and recall
+    does not regress vs the full-precision index."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.ops.distance import exact_knn
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    n, d, c, q, k = 5000, 64, 16, 64, 10
+    data = _unit(rng, n, d)
+    queries = _unit(rng, q, d)
+    li = LearnedIndex(IndexConfig(
+        n_categories=c, epochs=4, lr=0.003, batch_size=512, row_align=1,
+    ))
+    li.build(data, data)
+    scfg = SearchConfig(k=k, n_buckets=c, backend="xla")
+    d_f, i_f = li.search(queries, queries, n_buckets=c, k=k,
+                         search_config=scfg)
+
+    li.quantize(host_corpus=data, normalized=True)
+    assert li.built.store.is_quantized
+    d_q, i_q = li.search(queries, queries, n_buckets=c, k=k,
+                         search_config=scfg)
+
+    # probing all buckets == exact search; the reranked result must equal
+    # the exact oracle (quantization error erased by the rerank)
+    want_d, want_i = exact_knn(queries, data, k=k, normalized=True)
+    np.testing.assert_array_equal(i_q, np.asarray(want_i) + 1)
+    np.testing.assert_allclose(d_q, np.asarray(want_d), atol=1e-5)
+
+    # and without the rerank the distances are close but approximate
+    d_nr, _ = li.search(queries, queries, n_buckets=c, k=k,
+                        search_config=SearchConfig(
+                            k=k, n_buckets=c, backend="xla", rerank=False))
+    assert np.abs(d_nr - np.asarray(want_d)).max() < 5e-3

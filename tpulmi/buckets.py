@@ -18,7 +18,7 @@ whole chunks with ``lax.cond`` (see tpulmi/search.py).
 """
 
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,19 @@ class BucketStore:
     counts: jnp.ndarray       # (n_categories,) int32 bucket sizes
     n: int = field(metadata=dict(static=True), default=0)
     pad_rows: int = field(metadata=dict(static=True), default=0)
+    # Alignment every bucket offset is a multiple of. The Pallas probe
+    # kernel addresses whole (mc, d) blocks, so it requires
+    # row_align % mc == 0; recording it statically lets consumers validate
+    # that instead of inferring alignment from coincidental total sizes.
+    row_align: int = field(metadata=dict(static=True), default=1)
+    # Per-row int8 scales (shape (n + pad_rows,), f32) when the store is
+    # quantized; None for full-precision stores. data_sorted rows then hold
+    # int8 codes with x ≈ codes * (scales/127)[:, None].
+    scales: Optional[jnp.ndarray] = None
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.scales is not None
 
     @property
     def n_categories(self) -> int:
@@ -107,6 +120,7 @@ def build_bucket_store(
         counts=counts,
         n=int(n),
         pad_rows=int(pad_rows),
+        row_align=int(max(row_align, 1)),
     )
 
 

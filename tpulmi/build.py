@@ -50,11 +50,12 @@ def get_build_program(
     row_align: int = 1,
     reference_step_semantics: bool = False,
     include_store: bool = True,
+    max_train_steps=None,
 ):
     """Memoized fused build program for the given configuration."""
     key = (model_type, float(lr), n, d_nav, n_categories, kmeans_iters,
            kmeans_train_points, epochs, batch_size, row_align,
-           reference_step_semantics, include_store)
+           reference_step_semantics, include_store, max_train_steps)
     prog = _PROGRAM_CACHE.get(key)
     if prog is None:
         model = make_model(model_type, n_categories)
@@ -68,6 +69,7 @@ def get_build_program(
             row_align=row_align,
             reference_step_semantics=reference_step_semantics,
             include_store=include_store,
+            max_train_steps=max_train_steps,
         )
         _PROGRAM_CACHE[key] = prog
     return prog
@@ -101,6 +103,7 @@ def make_build_program(
     reference_step_semantics: bool = False,
     normalize_search: bool = True,
     include_store: bool = True,
+    max_train_steps=None,
 ):
     """Build the fused program for fixed shapes. Returns a jitted function
     (data_nav, data_search, key) -> BuildResult.
@@ -109,10 +112,13 @@ def make_build_program(
     training, predict) and returns empty store arrays — used when the
     search-space store exceeds device memory and is laid out on the host
     instead (see LearnedIndex host_store_build)."""
+    from tpulmi.models.train import train_plan
+
     n_train = min(n, kmeans_train_points)
-    steps_per_epoch = 1 if reference_step_semantics else max(n // batch_size, 1)
+    epochs, steps_per_epoch, total_steps = train_plan(
+        n, epochs, batch_size, max_train_steps, reference_step_semantics
+    )
     eff_batch = min(batch_size, n)
-    total_steps = epochs * steps_per_epoch
     chunk = min(chunk, n)
     n_chunks = (n + chunk - 1) // chunk
     if row_align > 1:

@@ -58,6 +58,10 @@ class LearnedIndex:
         self.built: Optional[BuiltIndex] = None
         self._search_programs = {}   # static-config -> jitted program
         self._qpb_pads = {}          # (Q, n_buckets) -> validated qpb_pad
+        # optional host-resident full-precision corpus (rows by original
+        # 0-based id) + normalized flag; enables the exact rerank on
+        # quantized stores
+        self._host_corpus = None
 
     # ------------------------------------------------------------------ build
     def build(
@@ -124,6 +128,7 @@ class LearnedIndex:
             epochs=epochs,
             batch_size=cfg.batch_size,
             reference_step_semantics=cfg.reference_step_semantics,
+            max_train_steps=cfg.max_train_steps,
         )
         losses = jax.device_get(losses)  # true sync, see above
         t_train = time.perf_counter() - start - t_cluster
@@ -203,6 +208,7 @@ class LearnedIndex:
             batch_size=cfg.batch_size,
             row_align=cfg.row_align,
             reference_step_semantics=cfg.reference_step_semantics,
+            max_train_steps=cfg.max_train_steps,
         )
         result = program(data_nav, data_search, jax.random.PRNGKey(cfg.seed))
         # value fetches = true sync on the remote-execution backend
@@ -224,6 +230,7 @@ class LearnedIndex:
             counts=result.counts,
             n=n,
             pad_rows=pad_rows,
+            row_align=max(cfg.row_align, 1),
         )
         mx, mn, mean = bucket_stats(store)
         log.info(
@@ -258,7 +265,13 @@ class LearnedIndex:
         `data_search_host` stays a host array (float16/32/bf16). The store
         is written in bucket-sorted, `row_align`-aligned order directly into
         a host buffer of the target dtype, so peak device memory is just the
-        final store."""
+        final store.
+
+        ``store_dtype="int8"`` lays out int8 row codes plus per-row f32
+        scales (tpulmi/ops/quantize.py): half the upload bytes and HBM of
+        bf16 (~20M x 768 rows/chip), searched natively by both probe
+        backends; `search` reranks the final candidates against
+        `data_search_host` to erase the ~1e-3 quantization error."""
         import ml_dtypes
 
         cfg = self.config
@@ -284,6 +297,7 @@ class LearnedIndex:
             row_align=cfg.row_align,
             reference_step_semantics=cfg.reference_step_semantics,
             include_store=False,
+            max_train_steps=cfg.max_train_steps,
         )
         result = program(
             data_nav, jnp.zeros((0, 1), jnp.float32), jax.random.PRNGKey(cfg.seed)
@@ -304,7 +318,13 @@ class LearnedIndex:
 
         # ---- host-side bucket-sorted aligned layout ----
         align = max(cfg.row_align, 1)
-        dtype = ml_dtypes.bfloat16 if store_dtype == "bfloat16" else np.dtype(store_dtype)
+        quantized = store_dtype == "int8"
+        if quantized:
+            dtype = np.int8
+        elif store_dtype == "bfloat16":
+            dtype = ml_dtypes.bfloat16
+        else:
+            dtype = np.dtype(store_dtype)
         counts = np.bincount(pred, minlength=n_categories).astype(np.int32)
         aligned = -(-counts // align) * align
         offsets = np.concatenate([[0], np.cumsum(aligned)]).astype(np.int32)
@@ -314,12 +334,17 @@ class LearnedIndex:
         order = np.argsort(pred, kind="stable").astype(np.int32)
         store_host = np.zeros((n_total + pad_rows, d), dtype=dtype)
         ids_host = np.full((n_total + pad_rows,), -1, dtype=np.int32)
+        scales_host = (
+            np.zeros((n_total + pad_rows,), dtype=np.float32) if quantized
+            else None
+        )
         raw_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         sorted_labels = pred[order]
         rank = np.arange(n, dtype=np.int64) - raw_offsets[sorted_labels]
         pos = offsets[sorted_labels].astype(np.int64) + rank
         chunk = 1_000_000
-        direct = normalized and np.asarray(data_search_host[:1]).dtype == dtype
+        direct = (not quantized and normalized
+                  and np.asarray(data_search_host[:1]).dtype == dtype)
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             if direct:
@@ -332,7 +357,15 @@ class LearnedIndex:
                     rows /= np.maximum(
                         np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
                     )
-                store_host[pos[lo:hi]] = rows.astype(dtype)
+                if quantized:
+                    s = np.maximum(np.abs(rows).max(axis=1), 1e-12)
+                    codes = np.rint(rows / s[:, None] * 127.0)
+                    store_host[pos[lo:hi]] = np.clip(codes, -127, 127).astype(
+                        np.int8
+                    )
+                    scales_host[pos[lo:hi]] = s
+                else:
+                    store_host[pos[lo:hi]] = rows.astype(dtype)
             ids_host[pos[lo:hi]] = order[lo:hi]
         t_layout = time.perf_counter() - start - t_nav
         log.info("host-store build: layout %.1fs (%d rows -> %d aligned)",
@@ -349,6 +382,8 @@ class LearnedIndex:
             counts=jax.device_put(jnp.asarray(counts)),
             n=n,
             pad_rows=pad_rows,
+            row_align=align,
+            scales=(jax.device_put(scales_host) if quantized else None),
         )
         jax.device_get(store.data_sorted[-1, :1])
         build_time = time.perf_counter() - start
@@ -362,7 +397,56 @@ class LearnedIndex:
             config=cfg,
             max_bucket=int(counts.max()) if counts.size else 0,
         )
+        # keep the host corpus for the exact rerank of quantized results
+        self._host_corpus = (data_search_host, normalized)
         return pred, build_time
+
+    def quantize(self, host_corpus=None, normalized: bool = False) -> None:
+        """Convert the built store to int8 codes + per-row scales in place
+        (half the HBM; ~1e-3 cosine error). Optionally attach a
+        host-resident full-precision corpus so `search` reranks the final
+        candidates exactly."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        from tpulmi.ops.quantize import quantize_store
+
+        self.built = BuiltIndex(
+            centroids=self.built.centroids,
+            classifier=self.built.classifier,
+            store=quantize_store(self.built.store),
+            pred_categories=self.built.pred_categories,
+            config=self.built.config,
+            max_bucket=self.built.max_bucket,
+        )
+        self._search_programs = {}
+        if host_corpus is not None:
+            self._host_corpus = (host_corpus, normalized)
+
+    def _rerank_host(self, dists, ids, queries_search, k: int):
+        """Exact top-k over the quantized candidates: gather the candidate
+        rows from the host corpus, recompute full-precision cosine
+        distances, reorder, truncate to k. ids are 0-based, -1 = empty."""
+        corpus, normalized = self._host_corpus
+        q, k_eff = ids.shape
+        d = int(np.asarray(corpus[:1]).shape[1])
+        qs = np.array(jax.device_get(queries_search), np.float32)  # writable copy
+        qs /= np.maximum(np.linalg.norm(qs, axis=1, keepdims=True), 1e-12)
+        rows = np.asarray(
+            corpus[np.maximum(ids, 0).reshape(-1)], np.float32
+        ).reshape(q, k_eff, d)
+        if not normalized:
+            rows /= np.maximum(
+                np.linalg.norm(rows, axis=2, keepdims=True), 1e-12
+            )
+        exact = 1.0 - np.matmul(rows, qs[:, :, None])[:, :, 0]
+        from tpulmi.ops.distance import SENTINEL_DIST
+
+        exact = np.where(ids < 0, SENTINEL_DIST, exact)
+        order = np.argsort(exact, axis=1, kind="stable")[:, :k]
+        return (
+            np.take_along_axis(exact, order, axis=1).astype(np.float32),
+            np.take_along_axis(ids, order, axis=1),
+        )
 
     # ----------------------------------------------------------------- search
     def search(
@@ -404,13 +488,21 @@ class LearnedIndex:
             jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None
         )
 
+        # quantized stores with a host corpus attached: fetch extra
+        # candidates and rerank them at full precision on the host
+        rerank = (scfg.rerank and built.store.is_quantized
+                  and self._host_corpus is not None)
+        k_eff = k + scfg.rerank_extra if rerank else k
+
         # backend: the fused Pallas kernel needs lane-aligned dims and a
         # block-aligned store; "auto" uses it off-CPU whenever it applies
         backend = scfg.backend
         if backend == "auto":
             pallas_ok = (
                 built.store.dim % 128 == 0
+                and built.store.row_align % scfg.pallas_mc == 0
                 and built.store.data_sorted.shape[0] % scfg.pallas_mc == 0
+                and k_eff <= 128
                 and jax.devices()[0].platform != "cpu"
             )
             backend = "pallas" if pallas_ok else "xla"
@@ -424,7 +516,7 @@ class LearnedIndex:
         # max so an overflow triggers one re-padded rerun. No per-call host
         # sync is needed on the steady-state path.
         data_chunk = min(scfg.data_chunk, size_class(max(built.max_bucket, 1)),
-                         built.store.pad_rows or scfg.data_chunk)
+                         int(built.store.data_sorted.shape[0]))
         max_chunks = max(-(-built.max_bucket // data_chunk), 1)
         qpb_pad = scfg.queries_per_bucket_pad or self._qpb_pads.get(
             (q, n_buckets),
@@ -436,13 +528,13 @@ class LearnedIndex:
         while True:
             query_chunk = min(scfg.query_chunk, qpb_pad)
             qpb_pad = -(-qpb_pad // query_chunk) * query_chunk
-            prog_key = (backend, n_buckets, k, qpb_pad, data_chunk, max_chunks,
-                        query_chunk, scfg.compute_dtype)
+            prog_key = (backend, n_buckets, k_eff, qpb_pad, data_chunk,
+                        max_chunks, query_chunk, scfg.compute_dtype)
             program = self._search_programs.get(prog_key)
             if program is None:
                 program = make_search_program(
                     built.classifier.model,
-                    k=k,
+                    k=k_eff,
                     n_buckets=n_buckets,
                     qpb_pad=qpb_pad,
                     data_chunk=data_chunk,
@@ -465,6 +557,10 @@ class LearnedIndex:
                 self._qpb_pads[(q, n_buckets)] = qpb_pad
                 break
             qpb_pad = size_class(int(max_slots))  # overflow: re-pad and rerun
+        if rerank:
+            dists, ids = self._rerank_host(
+                np.asarray(dists), np.asarray(ids), queries_search, k
+            )
         # empty result slots (id -1) keep the sentinel distance; clamp the id
         # into range the way the reference edge-pads sub-k buckets
         # (`search/li/LearnedIndex.py:174-190`).
@@ -518,6 +614,8 @@ class LearnedIndex:
                 "ids_sorted": built.store.ids_sorted,
                 "offsets": built.store.offsets,
                 "counts": built.store.counts,
+                **({"scales": built.store.scales}
+                   if built.store.scales is not None else {}),
             },
         }
         meta = {
@@ -527,6 +625,7 @@ class LearnedIndex:
             "model_type": built.classifier.model_type,
             "store_n": built.store.n,
             "store_pad_rows": built.store.pad_rows,
+            "store_row_align": built.store.row_align,
             "version": 1,
         }
         ckpt = ocp.StandardCheckpointer()
@@ -580,6 +679,11 @@ class LearnedIndex:
             counts=jnp.asarray(state["store"]["counts"]),
             n=int(meta["store_n"]),
             pad_rows=int(meta["store_pad_rows"]),
+            # older round-1 checkpoints predate the recorded alignment;
+            # row_align=1 conservatively routes them to the XLA backend
+            row_align=int(meta.get("store_row_align", 1)),
+            scales=(jnp.asarray(state["store"]["scales"])
+                    if "scales" in state.get("store", {}) else None),
         )
         index.built = BuiltIndex(
             centroids=jnp.asarray(state["centroids"]),

@@ -36,19 +36,50 @@ class TrainState:
     epoch_losses: jnp.ndarray  # (epochs,) mean CE loss per epoch
 
 
+def train_plan(
+    n: int,
+    epochs: int,
+    batch_size: int,
+    max_train_steps: Optional[int] = None,
+    reference_step_semantics: bool = False,
+) -> Tuple[int, int, int]:
+    """Resolve the training schedule: (epochs, steps_per_epoch, total_steps).
+
+    Default semantics: one Adam step per batch, `n // batch_size` steps per
+    epoch; `max_train_steps` caps the total budget, truncated to whole
+    epochs (at least one). With `reference_step_semantics` one step runs per
+    epoch — the reference's last-batch-only loop
+    (`search/li/model.py:186-198`) — so `epochs` counts steps directly and
+    the cap applies to that count."""
+    steps_per_epoch = 1 if reference_step_semantics else max(n // batch_size, 1)
+    if max_train_steps:
+        capped = max(max_train_steps // steps_per_epoch, 1)
+        if capped < epochs:
+            log.info(
+                "train plan: %d epochs x %d steps exceeds max_train_steps=%d; "
+                "training %d epochs (%d steps)",
+                epochs, steps_per_epoch, max_train_steps, capped,
+                capped * steps_per_epoch,
+            )
+        epochs = min(epochs, capped)
+    return epochs, steps_per_epoch, epochs * steps_per_epoch
+
+
 def _make_train_fn(model: MLP, tx: optax.GradientTransformation,
                    n: int, batch_size: int, epochs: int,
-                   reference_step_semantics: bool):
+                   reference_step_semantics: bool,
+                   max_train_steps: Optional[int] = None):
     """The entire training run as ONE compiled program with a single
     flat `lax.scan` over all epochs × steps.
 
     Per-epoch shuffles are precomputed up front (`vmap`'d permutations over
     the per-epoch keys) so the scan stays single-level — a nested
-    epochs-over-steps scan compiles pathologically slowly, and one dispatch
+    epochs-over-steps scan compiled pathologically slowly, and one dispatch
     avoids paying per-call latency `epochs` times."""
-    steps_per_epoch = 1 if reference_step_semantics else max(n // batch_size, 1)
+    epochs, steps_per_epoch, total_steps = train_plan(
+        n, epochs, batch_size, max_train_steps, reference_step_semantics
+    )
     eff_batch = min(batch_size, n)
-    total_steps = epochs * steps_per_epoch
 
     def loss_fn(params, xb, yb):
         logits = model.apply({"params": params}, xb)
@@ -116,16 +147,19 @@ class BucketClassifier:
         epochs: int = 100,
         batch_size: int = 256,
         reference_step_semantics: bool = False,
+        max_train_steps: Optional[int] = None,
     ) -> jnp.ndarray:
         """Train on the full dataset; returns per-epoch mean losses."""
         X = jnp.asarray(X, jnp.float32)
         y = jnp.asarray(y, jnp.int32)
         n = int(X.shape[0])
-        cache_key = (n, batch_size, epochs, reference_step_semantics)
+        cache_key = (n, batch_size, epochs, reference_step_semantics,
+                     max_train_steps)
         train_fn = self._train_fn_cache.get(cache_key)
         if train_fn is None:
             train_fn = _make_train_fn(
-                self.model, self.tx, n, batch_size, epochs, reference_step_semantics
+                self.model, self.tx, n, batch_size, epochs,
+                reference_step_semantics, max_train_steps
             )
             self._train_fn_cache[cache_key] = train_fn
         key = jax.random.PRNGKey(self.seed + 1)

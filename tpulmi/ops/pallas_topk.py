@@ -45,8 +45,12 @@ K_LANE = 128  # scratch/output lane width (hardware lane count)
 _DSTART, _NDB, _QLIM, _DLIM = range(4)
 
 
-def _kernel(s_ref, q_ref, d_ref, out_d_ref, out_i_ref,
-            best_d, best_i, *, k: int, qc: int, mc: int):
+def _kernel(s_ref, q_ref, d_ref, *rest,
+            k: int, qc: int, mc: int, quantized: bool = False):
+    if quantized:
+        sc_ref, out_d_ref, out_i_ref, best_d, best_i = rest
+    else:
+        out_d_ref, out_i_ref, best_d, best_i = rest
     j = pl.program_id(0)   # query block
     c = pl.program_id(1)   # data chunk within the block's bucket
     ndb = s_ref[_NDB, j]
@@ -62,12 +66,18 @@ def _kernel(s_ref, q_ref, d_ref, out_d_ref, out_i_ref,
     @pl.when(jnp.logical_and(c < ndb, q_lim > 0))
     def _():
         q = q_ref[:]            # (qc, d)
-        blk = d_ref[:]          # (mc, d)
+        blk = d_ref[:]          # (mc, d); int8 codes when quantized
+        if quantized:
+            # dequantize in VMEM (the HBM read was 1 byte/elem); the per-row
+            # scale applies to the similarity columns after the matmul
+            blk = blk.astype(q.dtype)
         sims = jax.lax.dot_general(
             q, blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if quantized:
+            sims = sims * sc_ref[0, :][None, :]   # scales/127, (1, mc)
         dists = 1.0 - sims      # (qc, mc) f32
 
         col = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 1)
@@ -76,31 +86,58 @@ def _kernel(s_ref, q_ref, d_ref, out_d_ref, out_i_ref,
         mask = jnp.logical_and(global_row < d_lim, row < q_lim)
         dists = jnp.where(mask, dists, SENTINEL_DIST)
 
-        bd = best_d[:]
-        bi = best_i[:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (qc, K_LANE), 1)
-        for _ in range(k):
-            m = jnp.min(dists, axis=1)                       # (qc,)
-            a = jnp.argmin(dists, axis=1).astype(jnp.int32)  # (qc,)
-            sel = col == a[:, None]
-            # "id" tracked in-kernel is the global STORE ROW; the original
-            # dataset id is looked up outside via one (Q, k) gather
-            m_id = d_blk * mc + a
-            # replace the current worst scratch entry where the new
-            # candidate improves on it
-            worst = jnp.max(bd[:, :k], axis=1)
-            wi = jnp.argmax(bd[:, :k], axis=1).astype(jnp.int32)
-            better = m < worst
-            hit = jnp.logical_and(lane == wi[:, None], better[:, None])
-            bd = jnp.where(hit, m[:, None], bd)
-            bi = jnp.where(hit, m_id[:, None], bi)
-            # knock the extracted element out of this tile
-            dists = jnp.where(sel, SENTINEL_DIST, dists)
-        best_d[:] = bd
-        best_i[:] = bi
+        # Threshold-gated top-k maintenance. A fixed k min-extraction passes
+        # per tile makes the VPU — not the MXU — the bottleneck (~4% MFU in
+        # round-1 profiling): at qc=256/mc=512/k=10 those passes cost more
+        # than the tile's matmul. Instead, ONE cheap pass counts how many
+        # candidates beat the running k-th best; only the first tile of a
+        # bucket (empty accumulator) needs the full k extractions, and
+        # steady-state tiles almost always need zero.
+        bd0 = best_d[:]
+        worst0 = jnp.max(bd0[:, :k], axis=1)               # (qc,)
+        cnt = jnp.sum(
+            (dists < worst0[:, None]).astype(jnp.int32), axis=1
+        )                                                  # (qc,)
+        # per query only its k smallest improvers can enter the buffer, and
+        # extraction removes per-query minima in ascending order, so
+        # max_q min(cnt_q, k) passes are exact (not approximate)
+        n_iter = jnp.max(jnp.minimum(cnt, k))
 
-    out_d_ref[:] = best_d[:]
-    out_i_ref[:] = best_i[:]
+        @pl.when(n_iter > 0)
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (qc, K_LANE), 1)
+
+            def extract(_, state):
+                dd, bd, bi = state
+                m = jnp.min(dd, axis=1)                        # (qc,)
+                a = jnp.argmin(dd, axis=1).astype(jnp.int32)   # (qc,)
+                # "id" tracked in-kernel is the global STORE ROW; the
+                # original dataset id is looked up outside via one gather
+                m_id = d_blk * mc + a
+                # replace the current worst scratch entry where the new
+                # candidate improves on it
+                worst = jnp.max(bd[:, :k], axis=1)
+                wi = jnp.argmax(bd[:, :k], axis=1).astype(jnp.int32)
+                better = m < worst
+                hit = jnp.logical_and(lane == wi[:, None], better[:, None])
+                bd = jnp.where(hit, m[:, None], bd)
+                bi = jnp.where(hit, m_id[:, None], bi)
+                # knock the extracted element out of this tile
+                dd = jnp.where(col == a[:, None], SENTINEL_DIST, dd)
+                return dd, bd, bi
+
+            _, bd, bi = jax.lax.fori_loop(
+                0, n_iter, extract, (dists, bd0, best_i[:])
+            )
+            best_d[:] = bd
+            best_i[:] = bi
+
+    # the output tile is indexed by the query block alone; write it once, on
+    # the block's final grid step, instead of copying scratch every chunk
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = best_i[:]
 
 
 @partial(
@@ -129,6 +166,21 @@ def pallas_probe_search(
     d = store.dim
     if d % 128 != 0:
         raise ValueError(f"pallas path needs d%128==0, got {d}")
+    if k > K_LANE:
+        raise ValueError(
+            f"pallas path tracks top-k in a {K_LANE}-lane scratch; k={k} "
+            f"exceeds it (use the XLA backend for k > {K_LANE})"
+        )
+    # Every bucket offset must be a multiple of the data block, or the
+    # block index map floors into the preceding bucket (tail rows silently
+    # unscored, foreign rows leaking in). The recorded static row_align is
+    # the guarantee; a coincidentally-divisible total size is not.
+    if store.row_align % mc != 0:
+        raise ValueError(
+            f"pallas path needs row_align % mc == 0; store has "
+            f"row_align={store.row_align}, mc={mc} — rebuild the store with "
+            f"row_align a multiple of mc"
+        )
     if store.data_sorted.shape[0] % mc != 0:
         raise ValueError("store rows not a multiple of the data block; "
                          "build the store with row_align a multiple of mc")
@@ -156,7 +208,12 @@ def pallas_probe_search(
     slot_order_aligned = jnp.full((s_align,), n_slots, jnp.int32).at[pos].set(order)
     q_idx = jnp.minimum(slot_order_aligned // p, q - 1)
     qvecs = jnp.take(queries_search, q_idx, axis=0).astype(compute_dtype)
-    data = store.data_sorted.astype(compute_dtype)
+    quantized = store.is_quantized
+    if quantized:
+        data = store.data_sorted  # int8 codes, dequantized in-kernel
+        sc_blocks = (store.scales / 127.0).astype(jnp.float32).reshape(-1, mc)
+    else:
+        data = store.data_sorted.astype(compute_dtype)
 
     # ---- per-query-block scalars ----
     # bucket of block j: position aligned_off[b] // qc .. ; invert via
@@ -179,20 +236,25 @@ def pallas_probe_search(
         [blk_dstart, blk_ndb, blk_qlim, blk_dlim], axis=0
     ).astype(jnp.int32)
 
+    def data_block_index(j, c, s):
+        return (
+            s[_DSTART, j] + jnp.minimum(c, jnp.maximum(s[_NDB, j] - 1, 0)),
+            0,
+        )
+
+    in_specs = [
+        pl.BlockSpec((qc, d), lambda j, c, s: (j, 0)),
+        pl.BlockSpec((mc, d), data_block_index),
+    ]
+    inputs = [scalars, qvecs, data]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, mc), data_block_index))
+        inputs.append(sc_blocks)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_qblocks, max_chunks),
-        in_specs=[
-            pl.BlockSpec((qc, d), lambda j, c, s: (j, 0)),
-            pl.BlockSpec(
-                (mc, d),
-                lambda j, c, s: (
-                    s[_DSTART, j]
-                    + jnp.minimum(c, jnp.maximum(s[_NDB, j] - 1, 0)),
-                    0,
-                ),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
             pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
@@ -203,14 +265,14 @@ def pallas_probe_search(
         ],
     )
     out_d, out_i = pl.pallas_call(
-        partial(_kernel, k=k, qc=qc, mc=mc),
+        partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.int32),
         ],
         interpret=interpret,
-    )(scalars, qvecs, data)
+    )(*inputs)
 
     # ---- per-slot top-k (scratch is unordered), scatter back, merge ranks ----
     neg_top, arg_top = jax.lax.top_k(-out_d, k)

@@ -48,6 +48,7 @@ class ShardedBucketStore:
     cat_pad: int = field(metadata=dict(static=True), default=0)
     rows: int = field(metadata=dict(static=True), default=0)
     pad_rows: int = field(metadata=dict(static=True), default=0)
+    row_align: int = field(metadata=dict(static=True), default=1)
 
 
 def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
@@ -93,11 +94,12 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
         nrows = row_hi - row_lo
         data_shards[s, :nrows] = data_host[row_lo:row_hi]
         ids_shards[s, :nrows] = ids_host[row_lo:row_hi]
-        local_counts = counts[lo:hi]
-        cnt_shards[s, : hi - lo] = local_counts
-        off_shards[s, 1:] = np.cumsum(
-            np.pad(local_counts, (0, cat_pad - (hi - lo)))
-        )
+        cnt_shards[s, : hi - lo] = counts[lo:hi]
+        # local offsets = the source's (possibly row_align-padded) offsets
+        # rebased to the shard start — NOT cumsum(counts), which would lose
+        # the alignment gaps of row_align>1 stores
+        off_shards[s, : hi - lo + 1] = offsets[lo: hi + 1] - offsets[lo]
+        off_shards[s, hi - lo + 1:] = off_shards[s, hi - lo]
         starts[s, 0] = lo
 
     return ShardedBucketStore(
@@ -110,44 +112,26 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
         cat_pad=cat_pad,
         rows=rows,
         pad_rows=pad_rows,
+        row_align=store.row_align,
     )
 
 
-def sharded_probe_search(
-    probe_buckets,
-    queries_search,
-    sstore: ShardedBucketStore,
-    mesh: Mesh,
-    k: int = 10,
-    data_chunk: int = 2048,
-    qpb_pad: int = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bucket-sharded probe search over `mesh` (1-D, axis "buckets").
+# Compiled sharded-search programs keyed on (mesh, static padding classes).
+# A fresh shard_map + jit closure per call would recompile every call
+# (identical HLO, new Python identity); this cache is the multi-chip
+# counterpart of LearnedIndex._search_programs.
+_SHARDED_PROGRAMS = {}
 
-    Returns (dists, ids) like `tpulmi.search.probe_search` (0-based ids).
-    Each chip searches only its bucket range; partial top-k candidates are
-    all-gathered and re-merged. The final merge breaks distance ties by
-    shard-then-rank order instead of pure probe-rank order — the k-set is
-    identical, the tie order may differ from single-chip.
-    """
+
+def _get_sharded_program(mesh: Mesh, *, k: int, qpb_pad: int, data_chunk: int,
+                         max_chunks: int, cat_pad: int, rows: int,
+                         pad_rows: int):
     axis = mesh.axis_names[0]
-    probe_buckets = jnp.asarray(probe_buckets, jnp.int32)
-    queries_search = jnp.asarray(queries_search)
-
-    # static padding classes (one host sync per call, like probe_search)
-    n_cat_total = sstore.cat_pad * sstore.n_shards
-    slots = probe_buckets.reshape(-1)
-    slot_counts = jax.ops.segment_sum(
-        jnp.ones_like(slots), slots, num_segments=n_cat_total
-    )
-    max_slots = int(jax.device_get(slot_counts.max()))
-    max_bucket = int(jax.device_get(sstore.counts.max()))
-    data_chunk = min(data_chunk, size_class(max(max_bucket, 1)), sstore.pad_rows)
-    if qpb_pad is None:
-        qpb_pad = size_class(max(max_slots, 1))
-    max_chunks = max(-(-max_bucket // data_chunk), 1)
-
-    cat_pad = sstore.cat_pad
+    key = (mesh, axis, k, qpb_pad, data_chunk, max_chunks, cat_pad, rows,
+           pad_rows)
+    prog = _SHARDED_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
 
     def local_search(probes, queries, data_s, ids_s, offs, cnts, start):
         # remap global bucket ids into this shard's local range; non-local
@@ -160,8 +144,8 @@ def sharded_probe_search(
             ids_sorted=ids_s[0],
             offsets=offs[0],
             counts=cnts[0],
-            n=sstore.rows,
-            pad_rows=sstore.pad_rows,
+            n=rows,
+            pad_rows=pad_rows,
         )
         part_d, part_i, _ = _probe_search_impl(
             local,
@@ -196,7 +180,54 @@ def sharded_probe_search(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)(
+    prog = jax.jit(fn)
+    _SHARDED_PROGRAMS[key] = prog
+    return prog
+
+
+def sharded_probe_search(
+    probe_buckets,
+    queries_search,
+    sstore: ShardedBucketStore,
+    mesh: Mesh,
+    k: int = 10,
+    data_chunk: int = 2048,
+    qpb_pad: int = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bucket-sharded probe search over `mesh` (1-D, axis "buckets").
+
+    Returns (dists, ids) like `tpulmi.search.probe_search` (0-based ids).
+    Each chip searches only its bucket range; partial top-k candidates are
+    all-gathered and re-merged. The final merge breaks distance ties by
+    shard-then-rank order instead of pure probe-rank order — the k-set is
+    identical, the tie order may differ from single-chip.
+    """
+    probe_buckets = jnp.asarray(probe_buckets, jnp.int32)
+    queries_search = jnp.asarray(queries_search)
+
+    # static padding classes (one host sync per call, like probe_search)
+    n_cat_total = sstore.cat_pad * sstore.n_shards
+    slots = probe_buckets.reshape(-1)
+    slot_counts = jax.ops.segment_sum(
+        jnp.ones_like(slots), slots, num_segments=n_cat_total
+    )
+    max_slots = int(jax.device_get(slot_counts.max()))
+    max_bucket = int(jax.device_get(sstore.counts.max()))
+    # chunk bounded by the per-shard store size (dynamic_slice size bound);
+    # tail correctness comes from the pipeline's clamped-start + mask, so
+    # pad_rows slack is not required (it may legitimately be 0)
+    data_chunk = min(data_chunk, size_class(max(max_bucket, 1)),
+                     int(sstore.data_sorted.shape[1]))
+    if qpb_pad is None:
+        qpb_pad = size_class(max(max_slots, 1))
+    max_chunks = max(-(-max_bucket // data_chunk), 1)
+
+    program = _get_sharded_program(
+        mesh, k=k, qpb_pad=qpb_pad, data_chunk=data_chunk,
+        max_chunks=max_chunks, cat_pad=sstore.cat_pad, rows=sstore.rows,
+        pad_rows=sstore.pad_rows,
+    )
+    return program(
         probe_buckets,
         queries_search,
         sstore.data_sorted,

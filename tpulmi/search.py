@@ -75,11 +75,17 @@ def _probe_search_impl(
     qc = min(query_chunk, qpb_pad)
     n_qchunks = qpb_pad // qc
 
+    quantized = store.is_quantized
     data = store.data_sorted
     queries = queries_search
     if compute_dtype is not None:
-        data = data.astype(compute_dtype)
+        if not quantized:
+            data = data.astype(compute_dtype)
         queries = queries.astype(compute_dtype)
+    # int8 stores: codes stay int8 in HBM (half the bandwidth of bf16);
+    # each chunk is dequantized in registers and the per-row scale applied
+    # to the similarity columns: sims = (q · codes_j) * s_j / 127
+    scaled127 = (store.scales / 127.0).astype(jnp.float32) if quantized else None
 
     # --- group slots by bucket ------------------------------------------------
     slots = probe_buckets.reshape(n_slots)
@@ -122,19 +128,35 @@ def _probe_search_impl(
                 def chunk_step(carry, j):
                     def compute(carry):
                         best_d, best_i = carry
-                        start = dstart + j * mc  # in-bounds while j*mc < dcnt
+                        # clamp the slice start so a tail bucket of a store
+                        # with little/no pad slack never lets dynamic_slice
+                        # shift the block silently; the two-sided mask below
+                        # then drops any rows pulled in from before dstart
+                        start = jnp.minimum(
+                            dstart + j * mc,
+                            jnp.int32(max(data.shape[0] - mc, 0)),
+                        )
                         block = jax.lax.dynamic_slice(data, (start, 0), (mc, d))
                         block_ids = jax.lax.dynamic_slice(
                             store.ids_sorted, (start,), (mc,)
                         )
+                        if quantized:
+                            block = block.astype(qvecs.dtype)
                         sims = jax.lax.dot_general(
                             qvecs, block,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
+                        if quantized:
+                            s_blk = jax.lax.dynamic_slice(
+                                scaled127, (start,), (mc,)
+                            )
+                            sims = sims * s_blk[None, :]
                         dists = 1.0 - sims  # (qc, mc) f32
                         row = start + jax.lax.broadcasted_iota(jnp.int32, (1, mc), 1)
-                        in_bucket = row < (dstart + dcnt)
+                        in_bucket = jnp.logical_and(
+                            row >= dstart, row < (dstart + dcnt)
+                        )
                         dists = jnp.where(in_bucket, dists, SENTINEL_DIST)
                         cat_d = jnp.concatenate([best_d, dists], axis=1)
                         cat_i = jnp.concatenate(
@@ -276,10 +298,11 @@ def probe_search(
     max_slots = int(jax.device_get(slot_counts.max()))
     max_bucket = int(jax.device_get(store.counts.max()))
 
-    data_chunk = min(data_chunk, size_class(max(max_bucket, 1)))
-    if store.pad_rows:
-        # fixed-size tail slices must stay inside the sentinel padding
-        data_chunk = min(data_chunk, store.pad_rows)
+    # chunk may not exceed the store itself (dynamic_slice size bound); the
+    # clamped-start + two-sided mask in the pipeline handles tail buckets
+    # regardless of pad_rows slack
+    data_chunk = min(data_chunk, size_class(max(max_bucket, 1)),
+                     int(store.data_sorted.shape[0]))
     if qpb_pad is None:
         qpb_pad = size_class(max(max_slots, 1))
     query_chunk = min(query_chunk, qpb_pad)

@@ -3,9 +3,18 @@
 Mirrors the knobs of the reference CLI (`search/search.py:169-233`): dataset
 pair, number of categories/leaves, epochs, learning rate, model architecture,
 probe budget (as a percentage of categories, like the reference's ``-bp``
-flag), and k. Defaults are the published 10M configuration
-(`/root/reference/README.md:25-30`): 122 leaves, 205 "epochs", lr 0.009,
-MLP-5, bp=4.
+flag), and k.
+
+Epoch semantics differ deliberately from the reference: the reference's
+``train_batch`` applies ONE optimizer step per epoch (last batch only,
+`search/li/model.py:186-198`), so its published "205 epochs, lr 0.009" is
+really 205 Adam steps. tpulmi trains properly — a step per batch — so far
+fewer passes are needed; the defaults here (12 epochs, lr 0.003,
+batch 1024) are the configuration benched in bench.py, and
+``max_train_steps`` caps the total step budget (rounded down to whole
+epochs) so reference-scale epoch counts on reference-scale corpora cannot
+silently schedule millions of steps. Set ``reference_step_semantics=True``
+to reproduce the reference's one-step-per-epoch behavior exactly.
 """
 
 from dataclasses import dataclass, field, asdict
@@ -17,11 +26,15 @@ class IndexConfig:
     """Build-time configuration of the learned index."""
 
     n_categories: int = 122
-    epochs: int = 205
-    lr: float = 0.009
+    epochs: int = 12
+    lr: float = 0.003
     model_type: str = "MLP-5"
-    batch_size: int = 256
+    batch_size: int = 1024
     seed: int = 2023
+
+    # Hard cap on total optimizer steps (epochs * (n // batch_size) with the
+    # default per-batch stepping), truncated to whole epochs. None = no cap.
+    max_train_steps: Optional[int] = 20_000
 
     # K-means (replaces faiss.Kmeans defaults: 25 Lloyd iterations, training
     # subsampled to 256 points per centroid — faiss Clustering defaults).
@@ -44,9 +57,6 @@ class IndexConfig:
     # (a step per batch) by default; set True to mimic the reference's
     # behavior for apples-to-apples validation (see SURVEY.md §3.6).
     reference_step_semantics: bool = False
-
-    # When `reference_step_semantics` is False, `epochs` is reinterpreted as
-    # a total *optimizer step* budget multiplier; see models/train.py.
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -76,6 +86,14 @@ class SearchConfig:
     backend: str = "auto"
     pallas_qc: int = 256   # query-block rows per kernel tile
     pallas_mc: int = 512   # data-block rows per kernel tile
+
+    # Quantized (int8) stores only: rerank the final candidates against a
+    # host-resident full-precision corpus (when the index has one) to erase
+    # the ~1e-3 int8 cosine error. `rerank_extra` extra candidates are
+    # fetched per query so the exact reorder can recover neighbors the
+    # quantized scores narrowly misranked.
+    rerank: bool = True
+    rerank_extra: int = 10
 
     def to_dict(self) -> dict:
         return asdict(self)
