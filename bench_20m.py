@@ -1,0 +1,141 @@
+"""tpulmi 20M benchmark — beyond the reference's scale on ONE chip.
+
+The reference's largest published run is 10M rows (8.2 h build, 515 s
+search on one EPYC core — `/root/reference/README.md:16-24`); it has no
+>10M story. This benchmark runs TWENTY million 768-d rows on one TPU chip:
+
+- two-level hierarchical index (outer router over groups, per-group inner
+  k-means+MLP, joint top-k routing — tpulmi/hierarchical.py);
+- int8 bucket store with per-row scales (tpulmi/ops/quantize.py): 20M x
+  768 int8 ≈ 15.4 GB, fits a 16 GB v5e where bf16 (30.7 GB) cannot;
+- host-side exact rerank of the final candidates erases the quantization
+  error (recall measured against the exact streaming oracle).
+
+Prints ONE JSON line in the bench.py schema (baseline = the reference's
+10M numbers — the largest it can do at all).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from tpulmi.baseline import exact_knn_streamed  # noqa: E402
+from tpulmi.data import synthetic_dataset_big  # noqa: E402
+from tpulmi.hierarchical import HierarchicalConfig, HierarchicalIndex  # noqa: E402
+from tpulmi.utils.config import IndexConfig, SearchConfig  # noqa: E402
+
+N = 20_000_000
+N_QUERIES = 10_000
+D_NAV = 96
+D_SEARCH = 768
+N_GROUPS = 8
+N_CAT_INNER = 61        # 8 x 61 = 488 global buckets (~41k rows each)
+N_PROBES = 16           # global probes under the joint router
+K = 10
+SEED = 2023
+
+# baseline: the reference's best (its 10M headline; it cannot reach 20M)
+REF_SEARCH_S = 514.91
+REF_QPS = N_QUERIES / REF_SEARCH_S
+REF_BUILD_S = 29_538.4
+RECALL_GATE = 0.90
+
+CACHE = ".bench_cache"
+
+
+def _ground_truth(ds):
+    path = os.path.join(CACHE, f"gt20m_n{N}_q{N_QUERIES}_s{SEED}_k{K}.npz")
+    if os.path.exists(path):
+        return np.load(path)["ids"]
+    t0 = time.perf_counter()
+    _, ids = exact_knn_streamed(ds["queries_search"], ds["data_search"], k=K)
+    ids = ids + 1
+    print(f"# ground truth in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    np.savez_compressed(path, ids=ids)
+    return ids
+
+
+def main():
+    t_gen = time.perf_counter()
+    ds = synthetic_dataset_big(
+        n=N, n_queries=N_QUERIES, d_nav=D_NAV, d_search=D_SEARCH,
+        n_clusters=244, seed=SEED, cache_dir=CACHE,
+    )
+    t_gen = time.perf_counter() - t_gen
+
+    gt_ids = _ground_truth(ds)
+
+    cfg = HierarchicalConfig(
+        n_groups=N_GROUPS,
+        outer_epochs=6,
+        outer_lr=0.003,
+        inner=IndexConfig(
+            n_categories=N_CAT_INNER, epochs=8, lr=0.003, model_type="MLP-5",
+            batch_size=4096, seed=SEED,
+            # row_align must satisfy the Pallas kernel (mc=1024 for int8)
+            row_align=1024,
+        ),
+    )
+    hi = HierarchicalIndex(cfg)
+    data_search = np.asarray(ds["data_search"])  # materialize mmap in RAM
+    t_build = time.perf_counter()
+    hi.build_with_host_store(ds["data_nav"], data_search, normalized=True,
+                             store_dtype="int8")
+    t_build = time.perf_counter() - t_build
+
+    import jax.numpy as jnp
+    q_nav = jax.device_put(jnp.asarray(ds["queries_nav"]))
+    q_search = jax.device_put(jnp.asarray(ds["queries_search"]))
+    jax.device_get(q_search[-1, :1])
+
+    scfg = SearchConfig(k=K, n_buckets=N_PROBES)
+    hi.search(q_nav, q_search, n_buckets=N_PROBES, k=K,
+              search_config=scfg)  # warmup/compile
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        dists, ids = hi.search(q_nav, q_search, n_buckets=N_PROBES, k=K,
+                               search_config=scfg)
+        times.append(time.perf_counter() - start)
+    t_search = min(times)
+    qps = N_QUERIES / t_search
+
+    recall = float(np.mean([
+        len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
+    ]))
+    ok = recall >= RECALL_GATE
+    result = {
+        "metric": "search_qps_10k_queries_20M_hier_int8_recall>=0.90",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REF_QPS, 2) if ok else 0.0,
+        "recall_at_10": round(recall, 4),
+        "search_s_10k_queries": round(t_search, 4),
+        "build_s": round(t_build, 2),
+        "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
+        "n_rows": N,
+        "store": "int8+rerank",
+        "ref_search_s_10M": REF_SEARCH_S,
+        "ref_build_s_10M": REF_BUILD_S,
+        "datagen_s": round(t_gen, 1),
+    }
+    print(json.dumps(result))
+    sys.stdout.flush()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    code = main()
+    os._exit(code)

@@ -119,9 +119,17 @@ def main():
 
     results = {}
     outs = []
-    configs = [(256, 512), (512, 512), (256, 1024), (512, 1024), (1024, 512)]
+    configs = [(256, 512), (512, 512), (256, 1024), (512, 1024), (512, 2048),
+               (768, 1024)]
+    elem = store.data_sorted.dtype.itemsize
     for qc, mc in configs:
         if align % mc:
+            continue
+        # VMEM guess: double-buffered data tile + q tile + dists (f32, twice
+        # for the loop state) + scratch; skip configs that cannot fit
+        vmem = (2 * mc * D * elem + qc * D * 2
+                + 2 * qc * mc * 4 + qc * 128 * 8)
+        if vmem > 14 * 2 ** 20:
             continue
         flops, bytes_hbm = work_model(store, probes, qc, mc)
 
@@ -132,7 +140,11 @@ def main():
                 compute_dtype=jnp.bfloat16,
             )
 
-        t = bench(run, outs)
+        try:
+            t = bench(run, outs)
+        except Exception as e:  # noqa: BLE001 - VMEM OOM etc: skip config
+            print(f"# {qc}/{mc} failed: {str(e)[:120]}", file=sys.stderr)
+            continue
         results[f"pallas_qc{qc}_mc{mc}"] = {
             "s": round(t, 4),
             "tflops": round(flops / t / 1e12, 1),

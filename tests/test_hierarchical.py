@@ -64,3 +64,89 @@ def test_no_duplicate_ids(built_hier, synthetic_small):
     for row in ids:
         real = row[row >= 1]
         assert len(set(real)) == len(real)
+
+
+def test_joint_router_logits_shape(built_hier, synthetic_small):
+    """The factorized router exposes flat (Q, G*C) joint log-probs."""
+    import jax.numpy as jnp
+
+    clf = built_hier.built.classifier
+    q = jnp.asarray(synthetic_small["queries_nav"][:16])
+    logits = clf.model.apply({"params": clf.params}, q)
+    assert logits.shape == (16, 4 * 8)
+    # rows are joint log-probabilities: logsumexp == 0
+    import jax
+
+    lse = jax.scipy.special.logsumexp(logits, axis=1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+
+def test_hierarchical_save_load(built_hier, synthetic_small, tmp_path):
+    d1, i1 = built_hier.search(
+        synthetic_small["queries_nav"][:32], synthetic_small["queries_search"][:32],
+        n_buckets=8, k=10,
+    )
+    built_hier.save(str(tmp_path / "hier_ckpt"))
+    restored = HierarchicalIndex.load(str(tmp_path / "hier_ckpt"))
+    d2, i2 = restored.search(
+        synthetic_small["queries_nav"][:32], synthetic_small["queries_search"][:32],
+        n_buckets=8, k=10,
+    )
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_hierarchical_sharded_by_group(built_hier, synthetic_small):
+    """Groups are contiguous bucket ranges: shard_store(store, G) places one
+    group per shard and the sharded search matches single-chip."""
+    import jax.numpy as jnp
+    from tpulmi.parallel.mesh import make_mesh
+    from tpulmi.parallel.sharded import shard_store, sharded_probe_search
+    from tpulmi.search import probe_search
+
+    store = built_hier.built.store
+    sstore = shard_store(store, 4)  # 4 groups x 8 buckets -> 8 buckets/shard
+    assert sstore.cat_pad == 8
+    mesh = make_mesh(4, ("buckets",))
+
+    clf = built_hier.built.classifier
+    q = jnp.asarray(synthetic_small["queries_nav"][:48])
+    qs = synthetic_small["queries_search"][:48]
+    import jax
+
+    logits = clf.model.apply({"params": clf.params}, q)
+    _, probes = jax.lax.top_k(logits, 6)
+    probes = np.asarray(probes).astype(np.int32)
+    d_single, _ = probe_search(probes, qs, store, k=10)
+    d_shard, _ = sharded_probe_search(probes, qs, sstore, mesh, k=10)
+    np.testing.assert_allclose(np.asarray(d_shard), np.asarray(d_single),
+                               atol=1e-5)
+
+
+def test_hierarchical_host_store_int8(synthetic_small):
+    """build_with_host_store + int8 + rerank: the big-corpus configuration,
+    exercised small."""
+    cfg = HierarchicalConfig(
+        n_groups=3,
+        outer_epochs=4,
+        outer_lr=0.003,
+        inner=IndexConfig(n_categories=6, epochs=4, lr=0.003,
+                          model_type="MLP-5", row_align=1),
+    )
+    hi = HierarchicalIndex(cfg)
+    data_nav = synthetic_small["data_nav"]
+    data_search = np.asarray(synthetic_small["data_search"], np.float32)
+    hi.build_with_host_store(data_nav, data_search, store_dtype="int8")
+    assert hi.built.store.is_quantized
+
+    _, gt, _ = Baseline().search(
+        synthetic_small["queries_search"], data_search, k=10
+    )
+    _, ids = hi.search(
+        synthetic_small["queries_nav"], synthetic_small["queries_search"],
+        n_buckets=9, k=10,
+    )
+    recall = np.mean([
+        len(set(ids[i]) & set(gt[i])) / 10 for i in range(ids.shape[0])
+    ])
+    assert recall > 0.85

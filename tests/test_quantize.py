@@ -86,7 +86,9 @@ def test_quantized_store_pallas_matches_xla(rng):
     from tpulmi.ops.quantize import quantize_store
     from tpulmi.search import probe_search
 
-    n, d, c, q, mc = 3000, 128, 9, 32, 256
+    # mc=1024: the int8 kernel's scales tile is (mc/128, 128), needing
+    # mc % 1024 == 0 on TPU hardware
+    n, d, c, q, mc = 9000, 128, 9, 32, 1024
     data = _unit(rng, n, d)
     queries = _unit(rng, q, d)
     labels = rng.integers(0, c, size=n).astype(np.int32)

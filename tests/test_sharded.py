@@ -109,3 +109,59 @@ def test_dp_train_step(rng, mesh8):
         params, opt_state, loss = step(params, opt_state, x, y)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5
+
+
+def test_facade_shard_search_matches_single(rng, synthetic_small, mesh8):
+    """LearnedIndex.shard(mesh): the transparent multi-chip search returns
+    the same k-set as single-chip, and repeated calls reuse one compiled
+    program (no per-call recompile)."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    li = LearnedIndex(IndexConfig(
+        n_categories=24, epochs=4, lr=0.003, batch_size=512, row_align=1,
+    ))
+    li.build(synthetic_small["data_nav"], synthetic_small["data_search"])
+    qn = synthetic_small["queries_nav"][:64]
+    qs = synthetic_small["queries_search"][:64]
+    scfg = SearchConfig(k=10, backend="xla")
+    d_single, i_single = li.search(qn, qs, n_buckets=5, k=10,
+                                   search_config=scfg)
+
+    li.shard(mesh8)
+    d_shard, i_shard = li.search(qn, qs, n_buckets=5, k=10, search_config=scfg)
+    np.testing.assert_allclose(d_shard, d_single, atol=1e-5)
+    n_progs = len(li._sharded_programs)
+    # repeated searches: same program, same answers
+    d2, i2 = li.search(qn, qs, n_buckets=5, k=10, search_config=scfg)
+    assert len(li._sharded_programs) == n_progs == 1
+    np.testing.assert_array_equal(i2, i_shard)
+
+    li.unshard()
+    d3, _ = li.search(qn, qs, n_buckets=5, k=10, search_config=scfg)
+    np.testing.assert_allclose(d3, d_single, atol=1e-5)
+
+
+def test_facade_shard_quantized(rng, synthetic_small, mesh8):
+    """Sharded search over an int8 store (per-shard codes + scales),
+    including the host rerank."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.ops.distance import exact_knn
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    data = np.asarray(synthetic_small["data_search"], np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    li = LearnedIndex(IndexConfig(
+        n_categories=24, epochs=4, lr=0.003, batch_size=512, row_align=1,
+    ))
+    li.build(synthetic_small["data_nav"], data)
+    li.quantize(host_corpus=data, normalized=True)
+    li.shard(mesh8)
+    qn = synthetic_small["queries_nav"][:64]
+    qs = synthetic_small["queries_search"][:64]
+    scfg = SearchConfig(k=10, backend="xla")
+    d_q, i_q = li.search(qn, qs, n_buckets=24, k=10, search_config=scfg)
+    # all buckets probed + rerank == exact oracle
+    want_d, want_i = exact_knn(qs, data, k=10, normalized=True)
+    np.testing.assert_array_equal(i_q, np.asarray(want_i) + 1)
+    np.testing.assert_allclose(d_q, np.asarray(want_d), atol=1e-5)

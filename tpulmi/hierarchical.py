@@ -1,36 +1,52 @@
-"""Two-level hierarchical learned index.
+"""Two-level hierarchical learned index — a routing factorization.
 
-The 100M-scale design from SURVEY.md §7 stage 9 / BASELINE.json config 4:
-an outer router (k-means + MLP, same recipe as the flat index) splits the
-corpus into G groups, and each group holds an inner `LearnedIndex` over its
-subset. A query routes to its top-`n_groups` groups, runs the inner probe
-search in each, and merges the per-group top-k by distance.
+The 100M-scale design from SURVEY.md §7 stage 9 / BASELINE.json config 4.
+The TPU-native insight: a two-level index does not need a second search
+stack. The hierarchy is a *factorized router* — an outer MLP scores groups,
+per-group inner MLPs score buckets within each group, and the joint global
+bucket score is
 
-Rationale: one v5e holds ~10M×768 bf16; at 100M the groups are the natural
-sharding unit — place inner indexes on different chips (or host-swap them)
-and the outer router stays tiny and replicated. This module implements the
-algorithmic structure single-host; the per-group placement across a mesh
-composes with tpulmi.parallel (each group's store is exactly a
-ShardedBucketStore shard).
+    score(g, b) = log P(g | q) + log P(b | q, g)
 
-Group subsets are padded up to size classes (repeating rows, which keep
-their original ids — the merge dedupes) so inner builds reuse compiled
-programs across groups instead of compiling one program per distinct group
-size.
+reshaped to one (Q, G·C) logit matrix. Global bucket ids are group-major
+(``g * C + b``), the store is one flat bucket-sorted CSR over all G·C
+buckets, and EVERYTHING else — the single-program probe search, the Pallas
+kernel, qpb overflow retry, int8 quantization + rerank, orbax checkpoints,
+and bucket-range sharding (a shard = a contiguous group range, so
+`shard_store(store, G)` places exactly one group per chip) — is inherited
+unchanged from the flat `LearnedIndex`.
+
+Joint top-k routing is also strictly better than staged pruning (probe the
+top n_groups, then n_buckets in each): it follows the true probability
+mass across group boundaries instead of committing to groups first.
+
+Where the hierarchy still earns its keep:
+
+- **build scale**: each inner k-means + MLP sees only its group's rows, so
+  a corpus whose single-level build would not fit HBM builds group by
+  group (`build_with_host_store` lays the flat store out host-side and
+  uploads once);
+- **placement**: groups are contiguous bucket ranges = natural shard /
+  host-swap units for 100M+ corpora.
+
+All G inner MLPs share one architecture; their params are stacked along a
+leading group axis and applied with `jax.vmap` — one fused program scores
+all groups, no Python loop over groups anywhere on the query path.
+
+Replaces (and extends far beyond) the reference's single-level design;
+the reference has no >10M story at all (`/root/reference/README.md:16-24`).
 """
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpulmi.index import LearnedIndex
-from tpulmi.models.train import BucketClassifier
-from tpulmi.ops.distance import SENTINEL_DIST
-from tpulmi.ops.kmeans import kmeans
-from tpulmi.search import size_class
+from tpulmi.buckets import build_bucket_store
+from tpulmi.index import BuiltIndex, LearnedIndex
+from tpulmi.models.mlp import make_model
 from tpulmi.utils.config import IndexConfig
 from tpulmi.utils.logging import get_logger
 
@@ -45,144 +61,336 @@ class HierarchicalConfig:
     outer_model_type: str = "MLP-5"
     inner: IndexConfig = field(default_factory=IndexConfig)
     seed: int = 2023
+    # rows per inner-build size class are padded with random unit vectors
+    # (cosine ~1 to any query, never reach a top-k) so same-size groups
+    # share one compiled inner-build program
 
 
-class HierarchicalIndex:
+class JointRouter:
+    """Duck-typed flax-like module: ``apply({'params': p}, x)`` returns the
+    (Q, G*C) joint log-probability logits. ``p`` is
+    ``{'outer': outer_params, 'inner': stacked_inner_params}`` where the
+    inner params carry a leading (G,) axis (vmapped apply)."""
+
+    def __init__(self, outer_model, inner_model, n_groups: int, n_cat: int):
+        self.outer_model = outer_model
+        self.inner_model = inner_model
+        self.n_groups = n_groups
+        self.n_cat = n_cat
+
+    def apply(self, variables, x):
+        p = variables["params"]
+        lo = jax.nn.log_softmax(
+            self.outer_model.apply({"params": p["outer"]}, x), axis=-1
+        )                                                     # (Q, G)
+        li = jax.vmap(
+            lambda pg: jax.nn.log_softmax(
+                self.inner_model.apply({"params": pg}, x), axis=-1
+            )
+        )(p["inner"])                                         # (G, Q, C)
+        li = jnp.moveaxis(li, 0, 1)                           # (Q, G, C)
+        joint = lo[:, :, None] + li                           # (Q, G, C)
+        return joint.reshape(x.shape[0], self.n_groups * self.n_cat)
+
+
+class JointRouterClassifier:
+    """Classifier facade over `JointRouter` satisfying the contract the
+    flat index machinery needs (model/params/predict + checkpoint metadata)."""
+
+    def __init__(self, outer_model, inner_model, n_groups, n_cat, input_dim,
+                 model_type: str):
+        self.model = JointRouter(outer_model, inner_model, n_groups, n_cat)
+        self.params = None
+        self.input_dim = input_dim
+        self.n_classes = n_groups * n_cat
+        self.model_type = model_type
+
+        self._predict_chunk = jax.jit(
+            lambda p, x: jnp.argmax(
+                self.model.apply({"params": p}, x), axis=1
+            ).astype(jnp.int32)
+        )
+
+    def predict(self, X, chunk: int = 131072) -> jnp.ndarray:
+        """Joint-argmax global bucket per row (one compiled program per
+        chunk shape; the tail chunk is padded to the full chunk size)."""
+        X = jnp.asarray(X, jnp.float32)
+        n = int(X.shape[0])
+        if n <= chunk:
+            return self._predict_chunk(self.params, X)
+        outs = []
+        for lo in range(0, n, chunk):
+            xb = X[lo:lo + chunk]
+            pad = chunk - int(xb.shape[0])
+            if pad:
+                xb = jnp.pad(xb, ((0, pad), (0, 0)))
+            outs.append(self._predict_chunk(self.params, xb)[:chunk - pad])
+        return jnp.concatenate(outs)
+
+
+class HierarchicalIndex(LearnedIndex):
+    """Flat `LearnedIndex` over G·C buckets with a factorized (two-level)
+    router. Inherits search/save/quantize/rerank; overrides the build."""
+
     def __init__(self, config: HierarchicalConfig = HierarchicalConfig()):
-        self.config = config
-        self.router: Optional[BucketClassifier] = None
-        self.inner: List[LearnedIndex] = []
-        self.group_rows: List[np.ndarray] = []  # inner row -> original 0-based id
+        super().__init__(config.inner)
+        self.hconfig = config
 
-    def build(self, data_nav, data_search=None) -> float:
-        """Partition into groups with the outer router, then build one inner
-        LearnedIndex per group. Returns build seconds."""
+    # ------------------------------------------------------------------ build
+    def _build_navigation(self, data_nav_host):
+        """All navigation stages: outer router on the full corpus, one inner
+        build per group (size-class program reuse), stacked params, global
+        joint-argmax bucket per row. Returns (classifier, pred_global)."""
+        from tpulmi.build import get_build_program
+        from tpulmi.search import size_class
+
+        hcfg = self.hconfig
+        cfg = hcfg.inner
+        G, C = hcfg.n_groups, cfg.n_categories
+        data_nav_host = np.ascontiguousarray(
+            np.asarray(data_nav_host, np.float32)
+        )
+        n, d_nav = data_nav_host.shape
+
+        # ---- outer: the standard nav-only fused build at G categories ----
+        nav_dev = jax.device_put(jnp.asarray(data_nav_host))
+        outer_prog = get_build_program(
+            model_type=hcfg.outer_model_type, lr=hcfg.outer_lr, n=n,
+            d_nav=d_nav, n_categories=G, kmeans_iters=cfg.kmeans_iters,
+            kmeans_train_points=cfg.kmeans_max_points_per_centroid * G,
+            epochs=hcfg.outer_epochs, batch_size=cfg.batch_size,
+            include_store=False, max_train_steps=cfg.max_train_steps,
+        )
+        outer_res = outer_prog(
+            nav_dev, jnp.zeros((0, 1), jnp.float32),
+            jax.random.PRNGKey(hcfg.seed),
+        )
+        groups = np.asarray(jax.device_get(outer_res.pred_categories))
+        outer_params = outer_res.params
+        log.info("outer router: %d groups, sizes %s", G,
+                 np.bincount(groups, minlength=G).tolist())
+
+        # ---- inner builds per group (padded to size classes). Group rows
+        # are gathered ON DEVICE from the resident nav data — no per-group
+        # host→device re-upload (the relay of this environment runs at
+        # ~25 MB/s; 2x nav traffic would double the nav-stage wall time).
+        # Size-class padding uses random unit rows generated on device. ----
+        inner_params = []
+        for g in range(G):
+            idx = np.where(groups == g)[0]
+            m_pad = size_class(max(idx.size, cfg.batch_size))
+            n_fill = m_pad - idx.size
+            fill = jax.random.normal(
+                jax.random.PRNGKey(hcfg.seed + 200 + g), (n_fill, d_nav),
+                jnp.float32,
+            )
+            fill = fill / jnp.maximum(
+                jnp.linalg.norm(fill, axis=1, keepdims=True), 1e-12
+            )
+            nav_g = jnp.concatenate(
+                [jnp.take(nav_dev, jnp.asarray(idx, jnp.int32), axis=0), fill]
+            )
+            prog = get_build_program(
+                model_type=cfg.model_type, lr=cfg.lr, n=m_pad, d_nav=d_nav,
+                n_categories=C, kmeans_iters=cfg.kmeans_iters,
+                kmeans_train_points=cfg.kmeans_max_points_per_centroid * C,
+                epochs=cfg.epochs, batch_size=cfg.batch_size,
+                include_store=False, max_train_steps=cfg.max_train_steps,
+            )
+            res = prog(
+                nav_g,
+                jnp.zeros((0, 1), jnp.float32),
+                jax.random.PRNGKey(hcfg.seed + 100 + g),
+            )
+            inner_params.append(res.params)
+            log.info("inner %d/%d: %d rows (padded %d)", g + 1, G, idx.size,
+                     m_pad)
+
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *inner_params
+        )
+        outer_model = make_model(hcfg.outer_model_type, G)
+        inner_model = make_model(cfg.model_type, C)
+        classifier = JointRouterClassifier(
+            outer_model, inner_model, G, C, d_nav,
+            model_type=f"hier{G}:{hcfg.outer_model_type}:{cfg.model_type}",
+        )
+        classifier.params = {"outer": outer_params, "inner": stacked}
+
+        # ---- global bucket assignment = joint argmax (model-argmax
+        # semantics, the hierarchical analog of the reference's
+        # `search/li/LearnedIndex.py:67,240`) ----
+        pred = np.asarray(jax.device_get(classifier.predict(nav_dev)))
+        return classifier, pred, outer_res.centroids
+
+    def build(self, data_nav, data_search=None, **_ignored) -> Tuple[np.ndarray, float]:
+        """Device-store build (corpus fits HBM alongside one working copy)."""
         import time
 
-        cfg = self.config
+        from tpulmi.buckets import bucket_stats
+        from tpulmi.ops.distance import l2_normalize
+
         start = time.perf_counter()
-        data_nav = np.asarray(data_nav, np.float32)
-        data_search = np.asarray(
-            data_search if data_search is not None else data_nav, np.float32
+        hcfg = self.hconfig
+        cfg = hcfg.inner
+        classifier, pred, centroids = self._build_navigation(data_nav)
+        if data_search is None:
+            data_search = data_nav
+        store = build_bucket_store(
+            jnp.asarray(pred),
+            l2_normalize(jnp.asarray(np.asarray(data_search, np.float32))),
+            hcfg.n_groups * cfg.n_categories,
+            row_align=cfg.row_align,
         )
-        n = data_nav.shape[0]
-
-        # ---- outer partition + router (same recipe as the flat index) ----
-        nav_dev = jax.device_put(jnp.asarray(data_nav))
-        _, labels = kmeans(nav_dev, cfg.n_groups, seed=cfg.seed)
-        router = BucketClassifier(
-            input_dim=data_nav.shape[1],
-            n_classes=cfg.n_groups,
-            lr=cfg.outer_lr,
-            model_type=cfg.outer_model_type,
-            seed=cfg.seed,
+        jax.device_get(store.data_sorted[-1, :1])
+        build_time = time.perf_counter() - start
+        mx, mn, mean = bucket_stats(store)
+        log.info(
+            "hierarchical build: N=%d groups=%d buckets=%d "
+            "size max/mean/min=%d/%.0f/%d; %.1fs",
+            store.n, hcfg.n_groups, store.n_categories, mx, mean, mn,
+            build_time,
         )
-        router.train(nav_dev, labels, epochs=cfg.outer_epochs,
-                     batch_size=cfg.inner.batch_size)
-        groups = np.asarray(jax.device_get(router.predict(nav_dev)))
-        self.router = router
+        self.built = BuiltIndex(
+            centroids=centroids,
+            classifier=classifier,
+            store=store,
+            pred_categories=jnp.asarray(pred),
+            config=cfg,
+            max_bucket=mx,
+        )
+        return pred, build_time
 
-        # ---- inner indexes over size-class-padded subsets ----
-        # Padding rows are random unit vectors (cosine distance ≈ 1 to any
-        # real query in high dimension, so they never reach a top-k) with id
-        # -1 so the merge drops them; repeating real rows instead would let
-        # duplicates crowd true neighbors out of the inner top-k.
-        rng = np.random.default_rng(cfg.seed + 17)
-        self.inner, self.group_rows = [], []
-        for g in range(cfg.n_groups):
-            rows = np.where(groups == g)[0]
-            if rows.size == 0:
-                self.inner.append(None)
-                self.group_rows.append(rows.astype(np.int64))
-                continue
-            m_pad = size_class(rows.size)
-            n_fill = m_pad - rows.size
-            nav_g = data_nav[rows]
-            search_g = data_search[rows]
-            if n_fill:
-                fill_nav = rng.normal(size=(n_fill, nav_g.shape[1])).astype(np.float32)
-                fill_nav /= np.linalg.norm(fill_nav, axis=1, keepdims=True)
-                fill_search = rng.normal(size=(n_fill, search_g.shape[1])).astype(np.float32)
-                fill_search /= np.linalg.norm(fill_search, axis=1, keepdims=True)
-                nav_g = np.concatenate([nav_g, fill_nav])
-                search_g = np.concatenate([search_g, fill_search])
-            li = LearnedIndex(cfg.inner)
-            li.build(nav_g, search_g)
-            self.inner.append(li)
-            self.group_rows.append(
-                np.concatenate([rows, np.full(n_fill, -1)]).astype(np.int64)
-            )
-            log.info("group %d: %d rows (padded %d) built", g, rows.size, m_pad)
-        return time.perf_counter() - start
+    def build_with_host_store(
+        self,
+        data_nav,
+        data_search_host,
+        normalized: bool = False,
+        store_dtype: str = "bfloat16",
+    ) -> Tuple[np.ndarray, float]:
+        """Large-corpus build: navigation on device, flat G·C store laid out
+        host-side (native kernel) and uploaded once. With
+        ``store_dtype='int8'`` this is the 20M+/chip configuration."""
+        import time
 
+        from tpulmi.buckets import BucketStore
+        from tpulmi.hoststore import layout_host_store
+
+        start = time.perf_counter()
+        hcfg = self.hconfig
+        cfg = hcfg.inner
+        classifier, pred, centroids = self._build_navigation(data_nav)
+        t_nav = time.perf_counter() - start
+        log.info("hierarchical host-store build: nav stages %.1fs", t_nav)
+
+        arrays = layout_host_store(
+            pred, data_search_host, hcfg.n_groups * cfg.n_categories,
+            row_align=cfg.row_align, store_dtype=store_dtype,
+            normalized=normalized,
+        )
+        store = BucketStore(
+            data_sorted=jax.device_put(arrays.data_sorted),
+            ids_sorted=jax.device_put(arrays.ids_sorted),
+            offsets=jax.device_put(jnp.asarray(arrays.offsets)),
+            counts=jax.device_put(jnp.asarray(arrays.counts)),
+            n=arrays.n,
+            pad_rows=arrays.pad_rows,
+            row_align=arrays.row_align,
+            scales=(jax.device_put(arrays.scales)
+                    if arrays.scales is not None else None),
+        )
+        jax.device_get(store.data_sorted[-1, :1])
+        build_time = time.perf_counter() - start
+        log.info("hierarchical host-store build: total %.1fs", build_time)
+        self.built = BuiltIndex(
+            centroids=centroids,
+            classifier=classifier,
+            store=store,
+            pred_categories=jnp.asarray(pred),
+            config=cfg,
+            max_bucket=int(arrays.counts.max()) if arrays.counts.size else 0,
+        )
+        self._host_corpus = (data_search_host, normalized)
+        return pred, build_time
+
+    # ----------------------------------------------------------------- search
     def search(
         self,
         queries_nav,
         queries_search=None,
-        n_groups: int = 2,
         n_buckets: int = 4,
         k: int = 10,
+        n_groups: Optional[int] = None,
+        search_config=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Route to top-`n_groups` groups, inner-search each, merge by
-        distance with id dedupe (subset padding repeats rows). Returns
-        (dists, anns) with 1-based anns like the flat index."""
-        if self.router is None:
-            raise ValueError("Index is not built, call `build` first.")
-        queries_nav = np.asarray(queries_nav, np.float32)
-        queries_search = np.asarray(
-            queries_search if queries_search is not None else queries_nav,
-            np.float32,
-        )
-        q = queries_nav.shape[0]
-        n_groups = min(n_groups, self.config.n_groups)
-        _, routed = self.router.predict_proba(
-            jnp.asarray(queries_nav), top=n_groups
-        )
-        routed = np.asarray(jax.device_get(routed))  # (Q, n_groups)
+        """Probe the globally top-scored buckets under the joint router.
 
-        all_d = np.full((q, n_groups * k), SENTINEL_DIST, np.float32)
-        all_i = np.full((q, n_groups * k), -1, np.int64)
-        for g in range(self.config.n_groups):
-            li = self.inner[g]
-            if li is None:
-                continue
-            q_sel = np.where((routed == g).any(axis=1))[0]
-            if q_sel.size == 0:
-                continue
-            # pad the query batch to a size class so the inner search
-            # program is reused across groups and calls
-            qp = size_class(q_sel.size)
-            q_padded = np.concatenate(
-                [q_sel, np.zeros(qp - q_sel.size, np.int64)]
-            )
-            d_g, i_g = li.search(
-                queries_nav[q_padded], queries_search[q_padded],
-                n_buckets=n_buckets, k=k,
-            )
-            d_g, i_g = d_g[: q_sel.size], i_g[: q_sel.size]
-            # inner 1-based subset ids -> original 0-based ids (-1 = padding)
-            orig = self.group_rows[g][i_g - 1]
-            orig = np.where(d_g >= SENTINEL_DIST, -1, orig)
-            rank = (routed[q_sel] == g).argmax(axis=1)
-            for j, qi in enumerate(q_sel):
-                lo = rank[j] * k
-                all_d[qi, lo: lo + k] = d_g[j]
-                all_i[qi, lo: lo + k] = orig[j]
+        ``n_groups`` is accepted for API compatibility with the staged
+        two-level reading (probe budget becomes ``n_groups * n_buckets``
+        global probes); joint routing subsumes staged pruning."""
+        if n_groups:
+            n_buckets = n_groups * n_buckets
+        return super().search(
+            queries_nav, queries_search, n_buckets=n_buckets, k=k,
+            search_config=search_config,
+        )
 
-        # merge + dedupe per query (padding repeats map to the same id)
-        out_d = np.full((q, k), SENTINEL_DIST, np.float32)
-        out_i = np.zeros((q, k), np.int64)
-        for qi in range(q):
-            order = np.argsort(all_d[qi], kind="stable")
-            seen, taken = set(), 0
-            for idx in order:
-                oid = all_i[qi, idx]
-                if oid < 0 or oid in seen:
-                    continue
-                out_d[qi, taken] = all_d[qi, idx]
-                out_i[qi, taken] = oid
-                seen.add(oid)
-                taken += 1
-                if taken == k:
-                    break
-        return out_d, out_i + 1
+    # ------------------------------------------------------------ checkpoint
+    def save(self, path: str) -> None:
+        """Checkpoint (inherits the flat layout; adds hierarchy metadata)."""
+        import json
+        from pathlib import Path
+
+        super().save(path)
+        hcfg = self.hconfig
+        with open(Path(path).absolute() / "hier.json", "w") as f:
+            json.dump({
+                "n_groups": hcfg.n_groups,
+                "outer_epochs": hcfg.outer_epochs,
+                "outer_lr": hcfg.outer_lr,
+                "outer_model_type": hcfg.outer_model_type,
+                "seed": hcfg.seed,
+            }, f)
+
+    @classmethod
+    def load(cls, path: str) -> "HierarchicalIndex":
+        import json
+        from pathlib import Path
+
+        from tpulmi.buckets import BucketStore
+
+        path = Path(path).absolute()
+        meta, state = LearnedIndex._load_state(path)
+        with open(path / "hier.json") as f:
+            h = json.load(f)
+        inner_cfg = IndexConfig(**meta["config"])
+        cfg = HierarchicalConfig(inner=inner_cfg, **h)
+        index = cls(cfg)
+        G, C = cfg.n_groups, inner_cfg.n_categories
+        classifier = JointRouterClassifier(
+            make_model(cfg.outer_model_type, G),
+            make_model(inner_cfg.model_type, C),
+            G, C, meta["input_dim"],
+            model_type=meta["model_type"],
+        )
+        classifier.params = jax.device_put(state["params"])
+        store = BucketStore(
+            data_sorted=jnp.asarray(state["store"]["data_sorted"]),
+            ids_sorted=jnp.asarray(state["store"]["ids_sorted"]),
+            offsets=jnp.asarray(state["store"]["offsets"]),
+            counts=jnp.asarray(state["store"]["counts"]),
+            n=int(meta["store_n"]),
+            pad_rows=int(meta["store_pad_rows"]),
+            row_align=int(meta.get("store_row_align", 1)),
+            scales=(jnp.asarray(state["store"]["scales"])
+                    if "scales" in state.get("store", {}) else None),
+        )
+        index.built = BuiltIndex(
+            centroids=jnp.asarray(state["centroids"]),
+            classifier=classifier,
+            store=store,
+            pred_categories=jnp.asarray(state["pred_categories"]),
+            config=inner_cfg,
+            max_bucket=int(jax.device_get(store.counts.max())),
+        )
+        return index

@@ -1,0 +1,136 @@
+"""Host-side bucket-store layout for corpora larger than device memory.
+
+Builds the bucket-sorted, `row_align`-aligned store arrays in host buffers
+(bf16/f32/int8 + per-row scales) so the only device cost is one upload —
+the device-side layout in tpulmi/build.py needs a second in-HBM copy for
+the sort, which a >half-HBM corpus cannot afford.
+
+Used by `LearnedIndex.build_with_host_store` (10M single-level) and
+`HierarchicalIndex.build_big` (20M+ two-level). The scatter loop is the
+single-core bottleneck of the 10M build (346 s in round-1 BENCH_10M.md), so
+the row gather/scatter runs in the native C++ kernel (tpulmi/native) when
+available, with a NumPy fallback.
+
+Replaces the pandas groupby bucket formation of the reference
+(`search/li/LearnedIndex.py:143-145`) at scales pandas cannot reach.
+"""
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from tpulmi.utils.logging import get_logger
+
+log = get_logger("tpulmi.hoststore")
+
+
+@dataclass
+class HostStoreArrays:
+    """The BucketStore contents as host arrays, ready for one device_put."""
+
+    data_sorted: np.ndarray          # (n_total + pad_rows, d) store dtype
+    ids_sorted: np.ndarray           # (n_total + pad_rows,) int32
+    offsets: np.ndarray              # (n_categories + 1,) int32
+    counts: np.ndarray               # (n_categories,) int32
+    scales: Optional[np.ndarray]     # (n_total + pad_rows,) f32 or None
+    n: int
+    pad_rows: int
+    row_align: int
+
+
+def layout_host_store(
+    pred: np.ndarray,
+    data_search_host,
+    n_categories: int,
+    *,
+    row_align: int = 1,
+    store_dtype: str = "bfloat16",
+    normalized: bool = False,
+    pad_rows: int = 4096,
+    chunk: int = 1_000_000,
+) -> HostStoreArrays:
+    """Lay `data_search_host` out in bucket-sorted aligned order on the host.
+
+    `pred` is the (n,) int bucket label per row. `store_dtype` is
+    "bfloat16", "float32", or "int8" (int8 adds per-row scales)."""
+    import ml_dtypes
+
+    align = max(row_align, 1)
+    quantized = store_dtype == "int8"
+    if quantized:
+        dtype = np.int8
+    elif store_dtype == "bfloat16":
+        dtype = ml_dtypes.bfloat16
+    else:
+        dtype = np.dtype(store_dtype)
+
+    n = int(pred.shape[0])
+    d = int(np.asarray(data_search_host[:1]).shape[1])
+    t0 = time.perf_counter()
+    counts = np.bincount(pred, minlength=n_categories).astype(np.int32)
+    aligned = -(-counts // align) * align
+    offsets = np.concatenate([[0], np.cumsum(aligned)]).astype(np.int32)
+    pad_rows = -(-pad_rows // align) * align
+    n_total = int(-(-(n + n_categories * align) // align) * align)
+
+    order = np.argsort(pred, kind="stable").astype(np.int32)
+    store_host = np.zeros((n_total + pad_rows, d), dtype=dtype)
+    ids_host = np.full((n_total + pad_rows,), -1, dtype=np.int32)
+    scales_host = (
+        np.zeros((n_total + pad_rows,), dtype=np.float32) if quantized else None
+    )
+    raw_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    sorted_labels = pred[order]
+    rank = np.arange(n, dtype=np.int64) - raw_offsets[sorted_labels]
+    pos = offsets[sorted_labels].astype(np.int64) + rank
+
+    from tpulmi.native import native_layout
+
+    if native_layout.available() and not isinstance(
+        data_search_host, (list, tuple)
+    ):
+        native_layout.scatter_rows(
+            data_search_host, order, pos, store_host, scales_host,
+            normalized=normalized,
+        )
+        ids_host[pos] = order
+    else:
+        direct = (not quantized and normalized
+                  and np.asarray(data_search_host[:1]).dtype == dtype)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            if direct:
+                store_host[pos[lo:hi]] = data_search_host[order[lo:hi]]
+            else:
+                rows = np.asarray(
+                    data_search_host[order[lo:hi]], dtype=np.float32
+                )
+                if not normalized:
+                    rows /= np.maximum(
+                        np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
+                    )
+                if quantized:
+                    s = np.maximum(np.abs(rows).max(axis=1), 1e-12)
+                    codes = np.rint(rows / s[:, None] * 127.0)
+                    store_host[pos[lo:hi]] = np.clip(
+                        codes, -127, 127
+                    ).astype(np.int8)
+                    scales_host[pos[lo:hi]] = s
+                else:
+                    store_host[pos[lo:hi]] = rows.astype(dtype)
+            ids_host[pos[lo:hi]] = order[lo:hi]
+
+    log.info("host layout: %d rows -> %d aligned (+%d pad) in %.1fs",
+             n, n_total, pad_rows, time.perf_counter() - t0)
+    return HostStoreArrays(
+        data_sorted=store_host,
+        ids_sorted=ids_host,
+        offsets=offsets,
+        counts=counts,
+        scales=scales_host,
+        n=n,
+        pad_rows=pad_rows,
+        row_align=align,
+    )

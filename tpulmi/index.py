@@ -62,6 +62,9 @@ class LearnedIndex:
         # 0-based id) + normalized flag; enables the exact rerank on
         # quantized stores
         self._host_corpus = None
+        # multi-chip mode: (ShardedBucketStore, Mesh) after .shard()
+        self._sharded = None
+        self._sharded_programs = {}
 
     # ------------------------------------------------------------------ build
     def build(
@@ -316,60 +319,23 @@ class LearnedIndex:
 
         gc.collect()
 
-        # ---- host-side bucket-sorted aligned layout ----
-        align = max(cfg.row_align, 1)
-        quantized = store_dtype == "int8"
-        if quantized:
-            dtype = np.int8
-        elif store_dtype == "bfloat16":
-            dtype = ml_dtypes.bfloat16
-        else:
-            dtype = np.dtype(store_dtype)
-        counts = np.bincount(pred, minlength=n_categories).astype(np.int32)
-        aligned = -(-counts // align) * align
-        offsets = np.concatenate([[0], np.cumsum(aligned)]).astype(np.int32)
-        pad_rows = -(-4096 // align) * align
-        n_total = int(-(-(n + n_categories * align) // align) * align)
+        # ---- host-side bucket-sorted aligned layout (native kernel when
+        # the toolchain allows, NumPy otherwise — tpulmi/hoststore.py) ----
+        from tpulmi.hoststore import layout_host_store
 
-        order = np.argsort(pred, kind="stable").astype(np.int32)
-        store_host = np.zeros((n_total + pad_rows, d), dtype=dtype)
-        ids_host = np.full((n_total + pad_rows,), -1, dtype=np.int32)
-        scales_host = (
-            np.zeros((n_total + pad_rows,), dtype=np.float32) if quantized
-            else None
+        arrays = layout_host_store(
+            pred, data_search_host, n_categories,
+            row_align=cfg.row_align, store_dtype=store_dtype,
+            normalized=normalized,
         )
-        raw_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        sorted_labels = pred[order]
-        rank = np.arange(n, dtype=np.int64) - raw_offsets[sorted_labels]
-        pos = offsets[sorted_labels].astype(np.int64) + rank
-        chunk = 1_000_000
-        direct = (not quantized and normalized
-                  and np.asarray(data_search_host[:1]).dtype == dtype)
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            if direct:
-                # already normalized and in the target dtype: raw row copy,
-                # no float32 round trip
-                store_host[pos[lo:hi]] = data_search_host[order[lo:hi]]
-            else:
-                rows = np.asarray(data_search_host[order[lo:hi]], dtype=np.float32)
-                if not normalized:
-                    rows /= np.maximum(
-                        np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
-                    )
-                if quantized:
-                    s = np.maximum(np.abs(rows).max(axis=1), 1e-12)
-                    codes = np.rint(rows / s[:, None] * 127.0)
-                    store_host[pos[lo:hi]] = np.clip(codes, -127, 127).astype(
-                        np.int8
-                    )
-                    scales_host[pos[lo:hi]] = s
-                else:
-                    store_host[pos[lo:hi]] = rows.astype(dtype)
-            ids_host[pos[lo:hi]] = order[lo:hi]
+        quantized = arrays.scales is not None
+        store_host, ids_host = arrays.data_sorted, arrays.ids_sorted
+        offsets, counts = arrays.offsets, arrays.counts
+        scales_host, pad_rows, align = (
+            arrays.scales, arrays.pad_rows, arrays.row_align
+        )
         t_layout = time.perf_counter() - start - t_nav
-        log.info("host-store build: layout %.1fs (%d rows -> %d aligned)",
-                 t_layout, n, n_total)
+        log.info("host-store build: layout %.1fs", t_layout)
 
         # NOTE: this upload is bounded by the environment's host<->device
         # relay (~20-30 MB/s measured for every dtype) — ~13 min for a 10M
@@ -448,6 +414,82 @@ class LearnedIndex:
             np.take_along_axis(ids, order, axis=1),
         )
 
+    # ------------------------------------------------------------ multi-chip
+    def shard(self, mesh=None, n_shards: Optional[int] = None) -> None:
+        """Partition the built store into contiguous bucket ranges across a
+        mesh (axis "buckets"); subsequent `search` calls transparently run
+        the one-program multi-chip path (replicated routing, per-chip probe,
+        all-gather top-k merge over ICI). Pass a 1-D mesh or a shard count."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        from tpulmi.parallel.mesh import make_mesh
+        from tpulmi.parallel.sharded import shard_store
+
+        if mesh is None:
+            mesh = make_mesh(n_shards, ("buckets",))
+        sstore = shard_store(self.built.store, int(mesh.devices.size))
+        self._sharded = (sstore, mesh)
+        self._sharded_programs = {}
+
+    def unshard(self) -> None:
+        """Return to single-chip search (the flat store is still resident)."""
+        self._sharded = None
+        self._sharded_programs = {}
+
+    def _search_sharded(self, queries_nav, queries_search, n_buckets: int,
+                        k: int, scfg) -> Tuple[np.ndarray, np.ndarray]:
+        from tpulmi.parallel.sharded import make_sharded_search_program
+
+        built = self.built
+        sstore, mesh = self._sharded
+        rerank = (scfg.rerank and built.store.is_quantized
+                  and self._host_corpus is not None)
+        k_eff = k + scfg.rerank_extra if rerank else k
+        q = int(queries_nav.shape[0])
+        n_slots = q * n_buckets
+        data_chunk = min(scfg.data_chunk,
+                         size_class(max(built.max_bucket, 1)),
+                         int(sstore.data_sorted.shape[1]))
+        max_chunks = max(-(-built.max_bucket // data_chunk), 1)
+        qpb_pad = scfg.queries_per_bucket_pad or self._qpb_pads.get(
+            ("sharded", q, n_buckets),
+            size_class(min(n_slots,
+                           max(4 * n_slots // built.store.n_categories, 128))),
+        )
+        while True:
+            prog_key = (n_buckets, k_eff, qpb_pad, data_chunk, max_chunks,
+                        scfg.compute_dtype)
+            program = self._sharded_programs.get(prog_key)
+            if program is None:
+                program = make_sharded_search_program(
+                    built.classifier.model, mesh,
+                    k=k_eff, n_buckets=n_buckets, qpb_pad=qpb_pad,
+                    data_chunk=data_chunk, max_chunks=max_chunks,
+                    cat_pad=sstore.cat_pad, rows=sstore.rows,
+                    pad_rows=sstore.pad_rows,
+                    quantized=sstore.scales is not None,
+                    compute_dtype=(jnp.dtype(scfg.compute_dtype)
+                                   if scfg.compute_dtype else None),
+                )
+                self._sharded_programs[prog_key] = program
+            args = [built.classifier.params, queries_nav, queries_search,
+                    sstore.data_sorted, sstore.ids_sorted, sstore.offsets,
+                    sstore.counts, sstore.bucket_start]
+            if sstore.scales is not None:
+                args.append(sstore.scales)
+            dists, ids, max_slots = program(*args)
+            dists, ids, max_slots = jax.device_get((dists, ids, max_slots))
+            if int(max_slots) <= qpb_pad:
+                self._qpb_pads[("sharded", q, n_buckets)] = qpb_pad
+                break
+            qpb_pad = size_class(int(max_slots))
+        if rerank:
+            dists, ids = self._rerank_host(
+                np.asarray(dists), np.asarray(ids), queries_search, k
+            )
+        ids = np.where(ids < 0, 0, ids)
+        return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
+
     # ----------------------------------------------------------------- search
     def search(
         self,
@@ -484,6 +526,10 @@ class LearnedIndex:
                     np.concatenate([p[1] for p in parts]))
 
         n_buckets = min(n_buckets, built.store.n_categories)
+        if self._sharded is not None:
+            return self._search_sharded(
+                queries_nav, queries_search, n_buckets, k, scfg
+            )
         compute_dtype = (
             jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None
         )
@@ -503,6 +549,9 @@ class LearnedIndex:
                 and built.store.row_align % scfg.pallas_mc == 0
                 and built.store.data_sorted.shape[0] % scfg.pallas_mc == 0
                 and k_eff <= 128
+                # int8 scales arrive in (mc/128, 128) tiles: mc % 1024 == 0
+                and (not built.store.is_quantized
+                     or scfg.pallas_mc % 1024 == 0)
                 and jax.devices()[0].platform != "cpu"
             )
             backend = "pallas" if pallas_ok else "xla"
@@ -634,12 +683,12 @@ class LearnedIndex:
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f)
 
-    @classmethod
-    def load(cls, path: str) -> "LearnedIndex":
-        """Restore a saved index — the resume path the reference lacks."""
+    @staticmethod
+    def _load_state(path: Path):
+        """Restore the orbax state + JSON metadata (shared by the flat and
+        hierarchical load paths)."""
         import orbax.checkpoint as ocp
 
-        path = Path(path).absolute()
         with open(path / "meta.json") as f:
             meta = json.load(f)
         ckpt = ocp.StandardCheckpointer()
@@ -661,9 +710,16 @@ class LearnedIndex:
                 dict(meta_tree.tree) if hasattr(meta_tree, "tree") else meta_tree,
             )
             state = ckpt.restore(path / "state", target)
+        return meta, state
+
+    @classmethod
+    def load(cls, path: str) -> "LearnedIndex":
+        """Restore a saved index — the resume path the reference lacks."""
+        path = Path(path).absolute()
+        meta, state = cls._load_state(path)
 
         cfg = IndexConfig(**meta["config"])
-        index = cls(cfg)
+        index = LearnedIndex(cfg)
         classifier = BucketClassifier(
             input_dim=meta["input_dim"],
             n_classes=meta["n_classes"],

@@ -77,7 +77,9 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
             preferred_element_type=jnp.float32,
         )
         if quantized:
-            sims = sims * sc_ref[0, :][None, :]   # scales/127, (1, mc)
+            # per-row scales/127 arrive (mc/128, 128)-tiled (TPU blocks need
+            # ≥(8,128) tiles); row-major reshape restores scalar row order
+            sims = sims * sc_ref[:].reshape(1, mc)
         dists = 1.0 - sims      # (qc, mc) f32
 
         col = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 1)
@@ -210,8 +212,15 @@ def pallas_probe_search(
     qvecs = jnp.take(queries_search, q_idx, axis=0).astype(compute_dtype)
     quantized = store.is_quantized
     if quantized:
+        if (mc // 128) % 8 != 0:
+            raise ValueError(
+                f"pallas int8 path needs mc % 1024 == 0 (scales tile is "
+                f"(mc/128, 128) and TPU blocks need ≥8 sublanes); got mc={mc}"
+            )
         data = store.data_sorted  # int8 codes, dequantized in-kernel
-        sc_blocks = (store.scales / 127.0).astype(jnp.float32).reshape(-1, mc)
+        sc_blocks = (
+            (store.scales / 127.0).astype(jnp.float32).reshape(-1, 128)
+        )
     else:
         data = store.data_sorted.astype(compute_dtype)
 
@@ -248,7 +257,7 @@ def pallas_probe_search(
     ]
     inputs = [scalars, qvecs, data]
     if quantized:
-        in_specs.append(pl.BlockSpec((1, mc), data_block_index))
+        in_specs.append(pl.BlockSpec((mc // 128, 128), data_block_index))
         inputs.append(sc_blocks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -20,7 +20,7 @@ along ``"data"`` and parameters replicated; XLA inserts the gradient psum.
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,7 @@ class ShardedBucketStore:
     rows: int = field(metadata=dict(static=True), default=0)
     pad_rows: int = field(metadata=dict(static=True), default=0)
     row_align: int = field(metadata=dict(static=True), default=1)
+    scales: Optional[jnp.ndarray] = None   # (S, rows_pad) f32 for int8 shards
 
 
 def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
@@ -86,6 +87,10 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
 
     data_host = np.asarray(jax.device_get(data_sorted))
     ids_host = np.asarray(jax.device_get(ids_sorted))
+    scales_host = (np.asarray(jax.device_get(store.scales))
+                   if store.is_quantized else None)
+    scales_shards = (np.zeros((n_shards, rows_pad), np.float32)
+                     if store.is_quantized else None)
 
     for s in range(n_shards):
         lo = min(s * cat_pad, n_cat)
@@ -94,6 +99,8 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
         nrows = row_hi - row_lo
         data_shards[s, :nrows] = data_host[row_lo:row_hi]
         ids_shards[s, :nrows] = ids_host[row_lo:row_hi]
+        if scales_shards is not None:
+            scales_shards[s, :nrows] = scales_host[row_lo:row_hi]
         cnt_shards[s, : hi - lo] = counts[lo:hi]
         # local offsets = the source's (possibly row_align-padded) offsets
         # rebased to the shard start — NOT cumsum(counts), which would lose
@@ -113,6 +120,8 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
         rows=rows,
         pad_rows=pad_rows,
         row_align=store.row_align,
+        scales=(jnp.asarray(scales_shards) if scales_shards is not None
+                else None),
     )
 
 
@@ -236,6 +245,71 @@ def sharded_probe_search(
         sstore.counts,
         sstore.bucket_start,
     )
+
+
+def make_sharded_search_program(
+    model,
+    mesh: Mesh,
+    *,
+    k: int,
+    n_buckets: int,
+    qpb_pad: int,
+    data_chunk: int,
+    max_chunks: int,
+    cat_pad: int,
+    rows: int,
+    pad_rows: int,
+    quantized: bool = False,
+    compute_dtype=None,
+):
+    """ONE jitted multi-chip search program: replicated MLP routing +
+    bucket-sharded probe search + all-gather top-k merge. The multi-chip
+    counterpart of tpulmi.search.make_search_program — same contract
+    (returns (dists, ids, max_slots) so the caller can validate its static
+    qpb_pad without an extra round trip). With `quantized` the per-shard
+    int8 codes + scales are searched natively."""
+    from tpulmi.ops.distance import l2_normalize
+
+    axis = mesh.axis_names[0]
+
+    def local_search(params, queries_nav, queries_search,
+                     data_s, ids_s, offs, cnts, start, *scales_s):
+        logits = model.apply({"params": params}, queries_nav)
+        _, probes = jax.lax.top_k(logits, n_buckets)
+        probes = probes.astype(jnp.int32)
+        qs = l2_normalize(queries_search.astype(jnp.float32))
+        local = probes - start[0, 0]
+        local = jnp.where((local >= 0) & (local < cat_pad), local, cat_pad)
+        local_store = BucketStore(
+            data_sorted=data_s[0], ids_sorted=ids_s[0],
+            offsets=offs[0], counts=cnts[0], n=rows, pad_rows=pad_rows,
+            scales=scales_s[0][0] if quantized else None,
+        )
+        part_d, part_i, max_slots = _probe_search_impl(
+            local, qs, local_store, k=k, qpb_pad=qpb_pad,
+            data_chunk=data_chunk, max_chunks=max_chunks,
+            compute_dtype=compute_dtype,
+        )
+        all_d = jax.lax.all_gather(part_d, axis)  # (S, Q, k)
+        all_i = jax.lax.all_gather(part_i, axis)
+        s, q, _ = all_d.shape
+        cat_d = jnp.moveaxis(all_d, 0, 1).reshape(q, s * k)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(q, s * k)
+        neg_top, arg_top = jax.lax.top_k(-cat_d, k)
+        return (-neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1),
+                jax.lax.pmax(max_slots, axis))
+
+    specs = [P(), P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)]
+    if quantized:
+        specs.append(P(axis))
+    fn = shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_dp_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):

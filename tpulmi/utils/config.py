@@ -84,8 +84,12 @@ class SearchConfig:
     # TPU), "xla" (portable reference pipeline), or "auto" (pallas on TPU
     # when the store layout allows, else xla).
     backend: str = "auto"
-    pallas_qc: int = 256   # query-block rows per kernel tile
-    pallas_mc: int = 512   # data-block rows per kernel tile
+    # Kernel tile sizes, tuned on hardware (scripts/kbench.py): qc=512
+    # reads each bucket once for up to 512 slots/bucket and lifts the
+    # matmul off the measured HBM roofline; mc=1024 satisfies the int8
+    # scales tiling and amortizes per-tile overheads.
+    pallas_qc: int = 512   # query-block rows per kernel tile
+    pallas_mc: int = 1024  # data-block rows per kernel tile
 
     # Quantized (int8) stores only: rerank the final candidates against a
     # host-resident full-precision corpus (when the index has one) to erase
