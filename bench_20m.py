@@ -88,11 +88,14 @@ def main():
             row_align=1024,
         ),
     )
+    import ml_dtypes
     hi = HierarchicalIndex(cfg)
     data_search = np.asarray(ds["data_search"])  # materialize mmap in RAM
     t_build = time.perf_counter()
-    hi.build_with_host_store(ds["data_nav"], data_search, normalized=True,
-                             store_dtype="int8")
+    hi.build_with_host_store(
+        ds["data_nav"].astype(ml_dtypes.bfloat16), data_search,
+        normalized=True, store_dtype="int8",
+    )
     t_build = time.perf_counter() - t_build
 
     import jax.numpy as jnp

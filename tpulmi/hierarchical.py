@@ -147,9 +147,9 @@ class HierarchicalIndex(LearnedIndex):
         hcfg = self.hconfig
         cfg = hcfg.inner
         G, C = hcfg.n_groups, cfg.n_categories
-        data_nav_host = np.ascontiguousarray(
-            np.asarray(data_nav_host, np.float32)
-        )
+        # keep the caller's nav precision (bf16 halves the relay-bound
+        # upload); every nav program casts to f32 on device
+        data_nav_host = np.ascontiguousarray(np.asarray(data_nav_host))
         n, d_nav = data_nav_host.shape
 
         # ---- outer: the standard nav-only fused build at G categories ----
@@ -187,9 +187,10 @@ class HierarchicalIndex(LearnedIndex):
             fill = fill / jnp.maximum(
                 jnp.linalg.norm(fill, axis=1, keepdims=True), 1e-12
             )
-            nav_g = jnp.concatenate(
-                [jnp.take(nav_dev, jnp.asarray(idx, jnp.int32), axis=0), fill]
-            )
+            nav_g = jnp.concatenate([
+                jnp.take(nav_dev, jnp.asarray(idx, jnp.int32), axis=0),
+                fill.astype(nav_dev.dtype),
+            ])
             prog = get_build_program(
                 model_type=cfg.model_type, lr=cfg.lr, n=m_pad, d_nav=d_nav,
                 n_categories=C, kmeans_iters=cfg.kmeans_iters,

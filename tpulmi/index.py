@@ -280,7 +280,9 @@ class LearnedIndex:
         cfg = self.config
         start = time.perf_counter()
         n_categories = cfg.n_categories
-        data_nav = jax.device_put(jnp.asarray(data_nav, jnp.float32))
+        # upload nav in its source precision (callers may pass bf16 to halve
+        # the relay-bound transfer); the build program casts to f32 on device
+        data_nav = jax.device_put(jnp.asarray(data_nav))
         n, d_nav = int(data_nav.shape[0]), int(data_nav.shape[1])
         d = int(data_search_host.shape[1])
         if n < n_categories:
