@@ -69,3 +69,19 @@ def test_cli_arg_parsing(tmp_path, monkeypatch):
     import glob
 
     assert glob.glob(str(tmp_path / "r" / "**" / "*.h5"), recursive=True)
+
+
+def test_cli_hierarchical_int8_shard(tmp_path):
+    """CLI end-to-end with the round-2 features: two-level index, int8
+    store + rerank, sharded search."""
+    from tpulmi import cli
+
+    cli.run(
+        synthetic=8000, n_categories=6, epochs=3, lr=0.003, k=5,
+        buckets_perc=(50,), size="100K",
+        hierarchical_groups=3, store_dtype="int8", shard=4,
+        result_dir=str(tmp_path),
+    )
+    import glob
+    files = glob.glob(str(tmp_path) + "/**/*.h5", recursive=True)
+    assert len(files) == 1

@@ -56,6 +56,9 @@ def run(
     data_dir: str = "data",
     result_dir: str = "result",
     save_index: str = "",
+    hierarchical_groups: int = 0,
+    store_dtype: str = "float32",
+    shard: int = 0,
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
@@ -110,9 +113,26 @@ def run(
     cfg = IndexConfig(
         n_categories=n_categories, epochs=epochs, lr=lr, model_type=model_type
     )
-    li = LearnedIndex(cfg)
+    if hierarchical_groups:
+        # two-level index: outer router over groups, joint factorized
+        # routing over groups*categories global buckets (tpulmi/hierarchical.py)
+        from tpulmi.hierarchical import HierarchicalConfig, HierarchicalIndex
+
+        li = HierarchicalIndex(HierarchicalConfig(
+            n_groups=hierarchical_groups, inner=cfg,
+        ))
+    else:
+        li = LearnedIndex(cfg)
     _, build_t = li.build(data_nav, data_search)
     log.info("build time: %.1fs", build_t)
+    if store_dtype == "int8":
+        # int8 codes + per-row scales, with the host corpus attached so
+        # search reranks the final candidates at full precision
+        li.quantize(host_corpus=np.asarray(data_search, np.float32))
+        log.info("store quantized to int8 (+exact host rerank)")
+    if shard:
+        li.shard(n_shards=shard)
+        log.info("store sharded across %d devices", shard)
 
     if save_index:
         li.save(save_index)
@@ -178,6 +198,16 @@ def main(argv=None):
     parser.add_argument("--result-dir", default="result")
     parser.add_argument("--save-index", default="",
                         help="Directory for an orbax checkpoint of the built index")
+    parser.add_argument("--hierarchical-groups", default=0, type=int,
+                        help="Two-level index with this many outer groups "
+                             "(0 = flat single-level)")
+    parser.add_argument("--store-dtype", default="float32",
+                        choices=["float32", "int8"],
+                        help="int8 quantizes the store (half the HBM) with "
+                             "an exact host rerank of final candidates")
+    parser.add_argument("--shard", default=0, type=int,
+                        help="Shard the bucket store across this many "
+                             "devices (multi-chip search)")
     args = parser.parse_args(argv)
 
     run(
@@ -197,6 +227,9 @@ def main(argv=None):
         data_dir=args.data_dir,
         result_dir=args.result_dir,
         save_index=args.save_index,
+        hierarchical_groups=args.hierarchical_groups,
+        store_dtype=args.store_dtype,
+        shard=args.shard,
     )
 
 

@@ -137,6 +137,9 @@ def synthetic_dataset(
     seed: int = 2023,
     cluster_std: float = 0.9,
     skew: float = 1.5,
+    zipf: float = 0.0,
+    ood_queries: float = 0.0,
+    nav_decorrelation: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Generate a clustered synthetic dataset shaped like the LAION subsets:
     a low-dim navigation view and a high-dim search view of the same points,
@@ -146,10 +149,30 @@ def synthetic_dataset(
     The two views are linked by a fixed random linear map so that proximity
     in nav space correlates with proximity in search space (as PCA96 does
     for clip768).
+
+    Hard-mode knobs (adversarial regimes for validation — real CLIP
+    embeddings are much harder than well-separated blobs, see
+    docs/HARDMODE.md):
+
+    - ``cluster_std``: overlap ramp — at ≥2 clusters blur into each other
+      and the routing problem approaches structureless;
+    - ``zipf > 0``: cluster sizes follow a Zipf(zipf) law instead of the
+      default mild power profile — giant head buckets + a long tail of
+      near-empty ones (routing skew + qpb overflow pressure);
+    - ``ood_queries``: fraction of queries drawn uniformly at random on the
+      sphere, off the data manifold entirely;
+    - ``nav_decorrelation``: fraction of independent noise mixed into the
+      points BEFORE the nav projection, so nav-space neighborhoods stop
+      agreeing with search-space neighborhoods (stresses the dual-space
+      design the way a bad PCA would).
     """
     rng = np.random.default_rng(seed)
-    # Skewed cluster sizes.
-    weights = rng.random(n_clusters) ** skew
+    # Cluster-size profile: mild power skew by default, Zipf on request.
+    if zipf > 0:
+        weights = 1.0 / np.arange(1, n_clusters + 1, dtype=np.float64) ** zipf
+        weights = rng.permutation(weights)
+    else:
+        weights = rng.random(n_clusters) ** skew
     weights /= weights.sum()
     assignments = rng.choice(n_clusters, size=n, p=weights)
 
@@ -166,14 +189,38 @@ def synthetic_dataset(
 
     # Navigation view: fixed random projection of the search view + noise.
     proj = rng.normal(size=(d_search, d_nav)).astype(np.float32) / np.sqrt(d_search)
-    data_nav = data_search @ proj
+    if nav_decorrelation > 0:
+        # unit-relative mixing: rows are ~unit norm, so noise rows are drawn
+        # at matching per-element scale (1/sqrt(d)); dec=0.5 then means the
+        # nav view carries 4x more signal energy than noise, dec=0.8 ~ 0.6x
+        mix = np.sqrt(1.0 - nav_decorrelation ** 2)
+        nav_src = (mix * data_search
+                   + nav_decorrelation * rng.normal(
+                       size=(n, d_search)).astype(np.float32)
+                   / np.sqrt(d_search))
+    else:
+        nav_src = data_search
+    data_nav = nav_src @ proj
 
-    # Queries: points near the data manifold.
+    # Queries: points near the data manifold (a fraction off-manifold when
+    # ood_queries > 0).
     q_assign = rng.choice(n_clusters, size=n_queries, p=weights)
     queries_search = centers_search[q_assign] + noise_scale * rng.normal(
         size=(n_queries, d_search)
     ).astype(np.float32)
-    queries_nav = queries_search @ proj
+    if ood_queries > 0:
+        n_ood = int(round(ood_queries * n_queries))
+        ood = rng.normal(size=(n_ood, d_search)).astype(np.float32)
+        queries_search[:n_ood] = ood
+    if nav_decorrelation > 0:
+        mix = np.sqrt(1.0 - nav_decorrelation ** 2)
+        q_nav_src = (mix * queries_search
+                     + nav_decorrelation * rng.normal(
+                         size=(n_queries, d_search)).astype(np.float32)
+                     / np.sqrt(d_search))
+    else:
+        q_nav_src = queries_search
+    queries_nav = q_nav_src @ proj
 
     return {
         "data_nav": normalize(data_nav),

@@ -275,8 +275,6 @@ class LearnedIndex:
         bf16 (~20M x 768 rows/chip), searched natively by both probe
         backends; `search` reranks the final candidates against
         `data_search_host` to erase the ~1e-3 quantization error."""
-        import ml_dtypes
-
         cfg = self.config
         start = time.perf_counter()
         n_categories = cfg.n_categories
@@ -284,7 +282,6 @@ class LearnedIndex:
         # the relay-bound transfer); the build program casts to f32 on device
         data_nav = jax.device_put(jnp.asarray(data_nav))
         n, d_nav = int(data_nav.shape[0]), int(data_nav.shape[1])
-        d = int(data_search_host.shape[1])
         if n < n_categories:
             n_categories = max(n // 5, 2)
 
@@ -417,6 +414,90 @@ class LearnedIndex:
         )
 
     # ------------------------------------------------------------ multi-chip
+    def build_distributed(
+        self,
+        data_nav,
+        data_search=None,
+        mesh=None,
+        shard_after: bool = True,
+    ) -> Tuple[np.ndarray, float]:
+        """Multi-chip build: every navigation stage (k-means subsample +
+        Lloyd, assignment, DP MLP training with pmean'd grads, predict) runs
+        data-parallel over `mesh` in ONE shard_map'd program
+        (tpulmi/parallel/dist_build.py); the store is then laid out and, by
+        default, bucket-sharded across the same mesh so `search` runs
+        multi-chip too."""
+        import optax
+
+        from tpulmi.models.mlp import make_model
+        from tpulmi.parallel.dist_build import (
+            get_dist_nav_program,
+            shard_rows,
+        )
+        from tpulmi.parallel.mesh import make_mesh
+
+        cfg = self.config
+        start = time.perf_counter()
+        if mesh is None:
+            mesh = make_mesh(axis_names=("data",))
+        data_nav = np.asarray(data_nav, np.float32)
+        n, d_nav = data_nav.shape
+        n_categories = cfg.n_categories if n >= cfg.n_categories else max(
+            n // 5, 2
+        )
+        data_sharded, n_local = shard_rows(data_nav, mesh)
+
+        model = make_model(cfg.model_type, n_categories)
+        tx = optax.adam(cfg.lr)
+        program = get_dist_nav_program(
+            model, tx, mesh, n_local=n_local, d_nav=d_nav,
+            n_categories=n_categories, kmeans_iters=cfg.kmeans_iters,
+            kmeans_train_points=cfg.kmeans_max_points_per_centroid
+            * n_categories,
+            epochs=cfg.epochs, batch_size=cfg.batch_size,
+            max_train_steps=cfg.max_train_steps,
+        )
+        result = program(data_sharded, jax.random.PRNGKey(cfg.seed))
+        pred = np.asarray(jax.device_get(result.pred))[:n]  # drop row padding
+        losses = jax.device_get(result.losses)
+        log.info("distributed build (%d chips): nav stages %.1fs, "
+                 "final loss %.4f", int(mesh.devices.size),
+                 time.perf_counter() - start, float(losses[-1]))
+
+        classifier = BucketClassifier(
+            input_dim=d_nav, n_classes=n_categories, lr=cfg.lr,
+            model_type=cfg.model_type, seed=cfg.seed, initialize=False,
+        )
+        classifier.params = jax.device_get(result.params)
+        if data_search is None:
+            data_search = data_nav
+        store = build_bucket_store(
+            jnp.asarray(pred),
+            l2_normalize(jnp.asarray(np.asarray(data_search, np.float32))),
+            n_categories, row_align=cfg.row_align,
+        )
+        jax.device_get(store.data_sorted[-1, :1])
+        build_time = time.perf_counter() - start
+        mx, mn, mean = bucket_stats(store)
+        log.info(
+            "distributed build: N=%d buckets=%d size max/mean/min=%d/%.0f/%d; "
+            "%.1fs", store.n, n_categories, mx, mean, mn, build_time,
+        )
+        self.built = BuiltIndex(
+            centroids=result.centroids,
+            classifier=classifier,
+            store=store,
+            pred_categories=jnp.asarray(pred),
+            config=cfg,
+            max_bucket=mx,
+        )
+        if shard_after:
+            from tpulmi.parallel.mesh import make_mesh as _mm
+
+            self.shard(_mm(int(mesh.devices.size), ("buckets",),
+                           devices=list(mesh.devices.flat)))
+        return pred, build_time
+
     def shard(self, mesh=None, n_shards: Optional[int] = None) -> None:
         """Partition the built store into contiguous bucket ranges across a
         mesh (axis "buckets"); subsequent `search` calls transparently run

@@ -92,9 +92,11 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
         # per tile makes the VPU — not the MXU — the bottleneck (~4% MFU in
         # round-1 profiling): at qc=256/mc=512/k=10 those passes cost more
         # than the tile's matmul. Instead, ONE cheap pass counts how many
-        # candidates beat the running k-th best; only the first tile of a
-        # bucket (empty accumulator) needs the full k extractions, and
-        # steady-state tiles almost always need zero.
+        # candidates beat the running k-th best, and extraction runs in
+        # independent SUB-row groups: the iteration count is max-over-rows,
+        # so smaller groups pay for their own improvements instead of the
+        # whole block's worst case (the coupling inflates a ~0.5 per-query
+        # mean into a ~5 per-block max at qc=512).
         bd0 = best_d[:]
         worst0 = jnp.max(bd0[:, :k], axis=1)               # (qc,)
         cnt = jnp.sum(
@@ -102,37 +104,46 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
         )                                                  # (qc,)
         # per query only its k smallest improvers can enter the buffer, and
         # extraction removes per-query minima in ascending order, so
-        # max_q min(cnt_q, k) passes are exact (not approximate)
-        n_iter = jnp.max(jnp.minimum(cnt, k))
+        # max_q min(cnt_q, k) passes per group are exact (not approximate)
+        cnt = jnp.minimum(cnt, k)
 
-        @pl.when(n_iter > 0)
-        def _():
-            lane = jax.lax.broadcasted_iota(jnp.int32, (qc, K_LANE), 1)
+        SUB = min(128, qc)
+        sub_lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, K_LANE), 1)
+        sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, mc), 1)
+        for g in range(qc // SUB):
+            lo = g * SUB
+            n_iter = jnp.max(jax.lax.dynamic_slice(cnt, (lo,), (SUB,)))
 
-            def extract(_, state):
-                dd, bd, bi = state
-                m = jnp.min(dd, axis=1)                        # (qc,)
-                a = jnp.argmin(dd, axis=1).astype(jnp.int32)   # (qc,)
-                # "id" tracked in-kernel is the global STORE ROW; the
-                # original dataset id is looked up outside via one gather
-                m_id = d_blk * mc + a
-                # replace the current worst scratch entry where the new
-                # candidate improves on it
-                worst = jnp.max(bd[:, :k], axis=1)
-                wi = jnp.argmax(bd[:, :k], axis=1).astype(jnp.int32)
-                better = m < worst
-                hit = jnp.logical_and(lane == wi[:, None], better[:, None])
-                bd = jnp.where(hit, m[:, None], bd)
-                bi = jnp.where(hit, m_id[:, None], bi)
-                # knock the extracted element out of this tile
-                dd = jnp.where(col == a[:, None], SENTINEL_DIST, dd)
-                return dd, bd, bi
+            @pl.when(n_iter > 0)
+            def _(g=g, lo=lo, n_iter=n_iter):
+                def extract(_, state):
+                    dd, bd, bi = state
+                    m = jnp.min(dd, axis=1)                       # (SUB,)
+                    a = jnp.argmin(dd, axis=1).astype(jnp.int32)  # (SUB,)
+                    # "id" tracked in-kernel is the global STORE ROW; the
+                    # original dataset id is looked up outside via a gather
+                    m_id = d_blk * mc + a
+                    # replace the current worst scratch entry where the
+                    # new candidate improves on it
+                    worst = jnp.max(bd[:, :k], axis=1)
+                    wi = jnp.argmax(bd[:, :k], axis=1).astype(jnp.int32)
+                    better = m < worst
+                    hit = jnp.logical_and(
+                        sub_lane == wi[:, None], better[:, None]
+                    )
+                    bd = jnp.where(hit, m[:, None], bd)
+                    bi = jnp.where(hit, m_id[:, None], bi)
+                    # knock the extracted element out of this tile
+                    dd = jnp.where(sub_col == a[:, None], SENTINEL_DIST, dd)
+                    return dd, bd, bi
 
-            _, bd, bi = jax.lax.fori_loop(
-                0, n_iter, extract, (dists, bd0, best_i[:])
-            )
-            best_d[:] = bd
-            best_i[:] = bi
+                _, bd, bi = jax.lax.fori_loop(
+                    0, n_iter, extract,
+                    (dists[lo:lo + SUB], bd0[lo:lo + SUB],
+                     best_i[lo:lo + SUB]),
+                )
+                best_d[lo:lo + SUB] = bd
+                best_i[lo:lo + SUB] = bi
 
     # the output tile is indexed by the query block alone; write it once, on
     # the block's final grid step, instead of copying scratch every chunk
