@@ -120,6 +120,32 @@ def main():
         len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
     ]))
 
+    # ---- work model: FLOPs and HBM bytes the probe phase must move, and
+    # utilization vs the MEASURED chip ceilings (scripts/calib.py: this
+    # environment sustains ~82 bf16 TFLOPS / ~196 GB/s, far below v5e paper
+    # specs — see NOTES.md) ----
+    MEASURED_PEAK_FLOPS, MEASURED_PEAK_BW = 82e12, 196e9
+    built = li.built
+    from tpulmi.utils.config import SearchConfig as _SC
+
+    qc, mc = _SC().pallas_qc, _SC().pallas_mc
+    logits = built.classifier.model.apply(
+        {"params": built.classifier.params}, q_nav)
+    import jax.numpy as _jnp  # noqa: F401
+    import jax as _jax
+
+    _, probes = _jax.lax.top_k(logits, N_PROBES)
+    slot_counts = np.bincount(
+        np.asarray(_jax.device_get(probes)).reshape(-1),
+        minlength=built.store.n_categories,
+    )
+    counts = np.asarray(_jax.device_get(built.store.counts))
+    qblocks = np.ceil(slot_counts / qc)
+    rows_pad = np.ceil(counts / mc) * mc
+    flops = float(np.sum(qblocks * qc * rows_pad) * D_SEARCH * 2)
+    elem = built.store.data_sorted.dtype.itemsize
+    bytes_hbm = float(np.sum(qblocks * rows_pad) * D_SEARCH * elem)
+
     ok = recall >= RECALL_GATE
     result = {
         "metric": "search_qps_10k_queries_300K_bp6_recall>=0.90",
@@ -134,6 +160,11 @@ def main():
         "ref_search_s": REF_SEARCH_S,
         "ref_build_s": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),
+        # probe-phase work model vs measured chip ceilings (NOTES.md)
+        "probe_tflop": round(flops / 1e12, 3),
+        "probe_gb": round(bytes_hbm / 1e9, 3),
+        "mfu_vs_measured_peak": round(flops / t_search / MEASURED_PEAK_FLOPS, 3),
+        "hbm_vs_measured_peak": round(bytes_hbm / t_search / MEASURED_PEAK_BW, 3),
     }
     print(json.dumps(result))
     sys.stdout.flush()

@@ -112,7 +112,7 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
         sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, mc), 1)
         for g in range(qc // SUB):
             lo = g * SUB
-            n_iter = jnp.max(jax.lax.dynamic_slice(cnt, (lo,), (SUB,)))
+            n_iter = jnp.max(cnt[lo:lo + SUB])
 
             @pl.when(n_iter > 0)
             def _(g=g, lo=lo, n_iter=n_iter):
