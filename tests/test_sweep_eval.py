@@ -57,3 +57,32 @@ def test_profiling_helpers():
 
     best, result = timeit(lambda a: a @ a, x, repeats=2)
     assert best > 0 and result.shape == (64, 64)
+
+
+def test_sweep_crash_resume(synthetic_small, tmp_path):
+    """A sweep interrupted mid-grid resumes from its incremental CSV:
+    completed combinations are skipped, the final file covers the grid."""
+    from tpulmi.sweep import SweepGrid, run_sweep, _load_done
+
+    path = str(tmp_path / "sweep.csv")
+    grid = SweepGrid(lrs=(0.003, 0.01), epochs=(3,), n_categories=(8,),
+                     buckets_perc=(30,))
+    # "crashed" first attempt: only the first combo ran
+    partial = SweepGrid(lrs=(0.003,), epochs=(3,), n_categories=(8,),
+                        buckets_perc=(30,))
+    run_sweep(synthetic_small["data_nav"][:5000],
+              synthetic_small["queries_nav"][:50],
+              synthetic_small["data_search"][:5000],
+              synthetic_small["queries_search"][:50],
+              grid=partial, k=5, resume_path=path)
+    assert len(_load_done(path)) == 1
+
+    # resume with the full grid: only the missing combo runs
+    results = run_sweep(synthetic_small["data_nav"][:5000],
+                        synthetic_small["queries_nav"][:50],
+                        synthetic_small["data_search"][:5000],
+                        synthetic_small["queries_search"][:50],
+                        grid=grid, k=5, resume_path=path)
+    assert len(results) == 1          # one new row, not two
+    assert results[0].lr == 0.01
+    assert len(_load_done(path)) == 2  # file now covers the grid

@@ -284,6 +284,9 @@ class HierarchicalIndex(LearnedIndex):
         t_nav = time.perf_counter() - start
         log.info("hierarchical host-store build: nav stages %.1fs", t_nav)
 
+        from tpulmi.hoststore import ensure_in_ram
+
+        data_search_host = ensure_in_ram(data_search_host)
         arrays = layout_host_store(
             pred, data_search_host, hcfg.n_groups * cfg.n_categories,
             row_align=cfg.row_align, store_dtype=store_dtype,

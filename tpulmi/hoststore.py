@@ -26,6 +26,18 @@ from tpulmi.utils.logging import get_logger
 log = get_logger("tpulmi.hoststore")
 
 
+def ensure_in_ram(arr):
+    """Materialize a (possibly memory-mapped) corpus in RAM with ONE
+    sequential read. Random-access gathers over a disk memmap are an
+    IO-bound storm (429 s vs ~40 s in RAM for the 10M store layout; the
+    same pathology hits the per-query rerank gather)."""
+    base = getattr(arr, "base", None)
+    if isinstance(arr, np.memmap) or isinstance(base, np.memmap):
+        log.info("materializing memory-mapped corpus in RAM (%s)", arr.shape)
+        return np.array(arr)
+    return arr
+
+
 @dataclass
 class HostStoreArrays:
     """The BucketStore contents as host arrays, ready for one device_put."""
@@ -69,6 +81,7 @@ def layout_host_store(
     n = int(pred.shape[0])
     d = int(np.asarray(data_search_host[:1]).shape[1])
     t0 = time.perf_counter()
+    data_search_host = ensure_in_ram(data_search_host)
     counts = np.bincount(pred, minlength=n_categories).astype(np.int32)
     aligned = -(-counts // align) * align
     offsets = np.concatenate([[0], np.cumsum(aligned)]).astype(np.int32)

@@ -320,8 +320,9 @@ class LearnedIndex:
 
         # ---- host-side bucket-sorted aligned layout (native kernel when
         # the toolchain allows, NumPy otherwise — tpulmi/hoststore.py) ----
-        from tpulmi.hoststore import layout_host_store
+        from tpulmi.hoststore import ensure_in_ram, layout_host_store
 
+        data_search_host = ensure_in_ram(data_search_host)
         arrays = layout_host_store(
             pred, data_search_host, n_categories,
             row_align=cfg.row_align, store_dtype=store_dtype,
@@ -403,7 +404,18 @@ class LearnedIndex:
             rows /= np.maximum(
                 np.linalg.norm(rows, axis=2, keepdims=True), 1e-12
             )
-        exact = 1.0 - np.matmul(rows, qs[:, :, None])[:, :, 0]
+        try:
+            # torch's batched matmul is multithreaded; numpy's loops GEMVs
+            # on one core (~4x slower at 10k x 20 x 768)
+            import torch
+
+            sims = torch.bmm(
+                torch.from_numpy(rows),
+                torch.from_numpy(qs).unsqueeze(2),
+            ).numpy()[:, :, 0]
+        except ImportError:
+            sims = np.matmul(rows, qs[:, :, None])[:, :, 0]
+        exact = 1.0 - sims
         from tpulmi.ops.distance import SENTINEL_DIST
 
         exact = np.where(ids < 0, SENTINEL_DIST, exact)

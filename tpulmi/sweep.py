@@ -54,6 +54,22 @@ class SweepResult:
     recall: float
 
 
+def _load_done(resume_path: str):
+    """Completed (lr, model, epochs, n_cat, n_buckets) keys from a prior
+    (possibly crashed) sweep's incremental CSV."""
+    import csv
+    import os
+
+    done = set()
+    if resume_path and os.path.exists(resume_path):
+        with open(resume_path, newline="") as f:
+            for row in csv.DictReader(f):
+                done.add((float(row["lr"]), row["model_type"],
+                          int(row["epochs"]), int(row["n_categories"]),
+                          int(row["n_buckets"])))
+    return done
+
+
 def run_sweep(
     data_nav,
     queries_nav,
@@ -62,11 +78,21 @@ def run_sweep(
     grid: SweepGrid = SweepGrid(),
     k: int = 10,
     gt_ids: Optional[np.ndarray] = None,
+    resume_path: Optional[str] = None,
 ) -> List[SweepResult]:
     """Sweep the grid; returns one row per (combo, probe budget).
 
     `gt_ids` (1-based, (Q, ≥k)) enables recall scoring; if omitted it is
-    computed once with the exact oracle."""
+    computed once with the exact oracle.
+
+    `resume_path` makes the sweep crash-resumable: each completed row is
+    appended (and flushed) to the CSV immediately, and a restarted sweep
+    skips every combination already recorded — the failure-recovery story
+    the reference's fire-and-forget PBS fan-out lacks entirely
+    (`search/run-multiple.sh`, jobs restart from zero)."""
+    import csv
+    import os
+
     if data_search is None:
         data_search = data_nav
     if queries_search is None:
@@ -75,8 +101,28 @@ def run_sweep(
         log.info("computing exact ground truth (%d queries)", len(queries_search))
         _, gt_ids, _ = Baseline().search(queries_search, data_search, k=k)
 
+    done = _load_done(resume_path)
+    writer = None
+    if resume_path:
+        new_file = not os.path.exists(resume_path)
+        fh = open(resume_path, "a", newline="")
+        writer = csv.writer(fh)
+        if new_file:
+            writer.writerow(
+                ["lr", "model_type", "epochs", "n_categories", "n_buckets",
+                 "build_s", "search_s", "recall"])
+            fh.flush()
+        if done:
+            log.info("resuming sweep: %d rows already complete", len(done))
+
     results = []
     for lr, model_type, epochs, n_cat in grid.combos():
+        probe_budgets = [
+            b for b in n_buckets_from_percentage(list(grid.buckets_perc), n_cat)
+            if (float(lr), model_type, int(epochs), int(n_cat), b) not in done
+        ]
+        if not probe_budgets:
+            continue
         cfg = IndexConfig(
             n_categories=n_cat, epochs=epochs, lr=lr, model_type=model_type
         )
@@ -84,7 +130,7 @@ def run_sweep(
         t0 = time.perf_counter()
         li.build(data_nav, data_search)
         build_s = time.perf_counter() - t0
-        for n_buckets in n_buckets_from_percentage(list(grid.buckets_perc), n_cat):
+        for n_buckets in probe_budgets:
             t0 = time.perf_counter()
             _, ids = li.search(
                 queries_nav, queries_search, n_buckets=n_buckets, k=k
@@ -97,12 +143,19 @@ def run_sweep(
             row = SweepResult(lr, model_type, epochs, n_cat, n_buckets,
                               build_s, search_s, recall)
             results.append(row)
+            if writer is not None:
+                writer.writerow([lr, model_type, epochs, n_cat, n_buckets,
+                                 f"{build_s:.2f}", f"{search_s:.3f}",
+                                 f"{recall:.4f}"])
+                fh.flush()
             log.info(
                 "lr=%g model=%s ep=%d cat=%d probes=%d: build %.1fs "
                 "search %.2fs recall %.4f",
                 lr, model_type, epochs, n_cat, n_buckets,
                 build_s, search_s, recall,
             )
+    if writer is not None:
+        fh.close()
     return results
 
 
