@@ -174,23 +174,27 @@ class HierarchicalIndex(LearnedIndex):
         # are gathered ON DEVICE from the resident nav data — no per-group
         # host→device re-upload (the relay of this environment runs at
         # ~25 MB/s; 2x nav traffic would double the nav-stage wall time).
-        # Size-class padding uses random unit rows generated on device. ----
+        # Size-class padding REPEATS rows sampled from the group (pow2
+        # rounding can mean 30%+ fill; random-noise fill at that fraction
+        # would hand the inner k-means a phantom mass to waste buckets on,
+        # while resampled real rows preserve the distribution — and the pad
+        # rows' predictions are discarded, so the store only ever holds
+        # real rows). ----
+        rng = np.random.default_rng(hcfg.seed + 17)
         inner_params = []
         for g in range(G):
             idx = np.where(groups == g)[0]
             m_pad = size_class(max(idx.size, cfg.batch_size))
             n_fill = m_pad - idx.size
-            fill = jax.random.normal(
-                jax.random.PRNGKey(hcfg.seed + 200 + g), (n_fill, d_nav),
-                jnp.float32,
+            if idx.size:
+                idx_pad = np.concatenate(
+                    [idx, rng.choice(idx, size=n_fill, replace=True)]
+                )
+            else:
+                idx_pad = np.zeros((m_pad,), np.int64)
+            nav_g = jnp.take(
+                nav_dev, jnp.asarray(idx_pad, jnp.int32), axis=0
             )
-            fill = fill / jnp.maximum(
-                jnp.linalg.norm(fill, axis=1, keepdims=True), 1e-12
-            )
-            nav_g = jnp.concatenate([
-                jnp.take(nav_dev, jnp.asarray(idx, jnp.int32), axis=0),
-                fill.astype(nav_dev.dtype),
-            ])
             prog = get_build_program(
                 model_type=cfg.model_type, lr=cfg.lr, n=m_pad, d_nav=d_nav,
                 n_categories=C, kmeans_iters=cfg.kmeans_iters,
