@@ -127,24 +127,21 @@ def main():
     MEASURED_PEAK_FLOPS, MEASURED_PEAK_BW = 82e12, 196e9
     built = li.built
     from tpulmi.utils.config import SearchConfig as _SC
+    from tpulmi.utils.profiling import probe_work_model
 
     qc, mc = _SC().pallas_qc, _SC().pallas_mc
     logits = built.classifier.model.apply(
         {"params": built.classifier.params}, q_nav)
-    import jax.numpy as _jnp  # noqa: F401
-    import jax as _jax
-
-    _, probes = _jax.lax.top_k(logits, N_PROBES)
+    _, probes = jax.lax.top_k(logits, N_PROBES)
     slot_counts = np.bincount(
-        np.asarray(_jax.device_get(probes)).reshape(-1),
+        np.asarray(jax.device_get(probes)).reshape(-1),
         minlength=built.store.n_categories,
     )
-    counts = np.asarray(_jax.device_get(built.store.counts))
-    qblocks = np.ceil(slot_counts / qc)
-    rows_pad = np.ceil(counts / mc) * mc
-    flops = float(np.sum(qblocks * qc * rows_pad) * D_SEARCH * 2)
-    elem = built.store.data_sorted.dtype.itemsize
-    bytes_hbm = float(np.sum(qblocks * rows_pad) * D_SEARCH * elem)
+    counts = np.asarray(jax.device_get(built.store.counts))
+    flops, bytes_hbm = probe_work_model(
+        slot_counts, counts, D_SEARCH, qc, mc,
+        built.store.data_sorted.dtype.itemsize,
+    )
 
     ok = recall >= RECALL_GATE
     result = {

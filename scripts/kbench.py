@@ -73,15 +73,15 @@ def make_store(n, c, d, align, dtype=jnp.bfloat16):
 
 def work_model(store, probes, qc, mc):
     """FLOPs and HBM bytes the kernel must move for this workload."""
+    from tpulmi.utils.profiling import probe_work_model
+
     counts = np.asarray(jax.device_get(store.counts))
     slots = np.bincount(np.asarray(probes).reshape(-1),
                         minlength=store.n_categories)
-    qblocks = np.ceil(slots / qc)
-    rows_pad = np.ceil(counts / mc) * mc
-    flops = float(np.sum(qblocks * qc * rows_pad) * D * 2)
-    elem = store.data_sorted.dtype.itemsize
-    bytes_hbm = float(np.sum(qblocks * rows_pad) * D * elem)
-    return flops, bytes_hbm
+    return probe_work_model(
+        slots, counts, store.dim, qc, mc,
+        store.data_sorted.dtype.itemsize,
+    )
 
 
 def bench(fn, out_holder):

@@ -127,3 +127,30 @@ def test_qpb_pad_overflow_retry(rng):
                              search_config=scfg)
     np.testing.assert_allclose(dists[:1], d_ref, atol=1e-5)
     np.testing.assert_array_equal(ids[:1], i_ref)
+
+
+def test_tail_clamp_no_duplicates(rng):
+    """A tail bucket larger than data_chunk in a store with no pad slack:
+    the clamped last chunk re-covers rows of earlier chunks, and the mask
+    must exclude them — duplicates in the top-k displace true neighbors
+    (round-2 review finding, reproduced)."""
+    from tpulmi.ops.distance import exact_knn
+
+    n, d, c = 3100, 32, 2
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    # bucket 0 tiny, bucket 1 huge (3000 rows) at the store tail
+    labels = np.concatenate([
+        np.zeros(100, np.int32), np.ones(3000, np.int32)
+    ])
+    store = build_bucket_store(labels, data, c, pad_rows=0)
+    queries = data[:8]
+    probes = np.full((8, 2), 0, np.int32)
+    probes[:, 1] = 1  # probe both buckets = exact search
+    d_got, i_got = probe_search(probes, queries, store, k=10,
+                                data_chunk=2048)
+    i_got = np.asarray(i_got)
+    for i in range(8):
+        assert len(set(i_got[i].tolist())) == 10, f"duplicate ids: {i_got[i]}"
+    want_d, want_i = exact_knn(queries, data, k=10, normalized=True)
+    np.testing.assert_array_equal(i_got, np.asarray(want_i))

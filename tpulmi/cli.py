@@ -62,7 +62,10 @@ def run(
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
-    n_buckets_list = n_buckets_from_percentage(list(buckets_perc), n_categories)
+    # -bp means "percent of buckets probed"; a hierarchical index routes
+    # over groups*categories GLOBAL buckets, so the budget scales with it
+    total_buckets = n_categories * max(hierarchical_groups, 1)
+    n_buckets_list = n_buckets_from_percentage(list(buckets_perc), total_buckets)
     if index_type == "learned-index" and not n_buckets_list:
         log.warning(
             "-bp %s of %d categories resolves to zero probed buckets "

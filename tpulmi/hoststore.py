@@ -101,15 +101,26 @@ def layout_host_store(
 
     from tpulmi.native import native_layout
 
-    if native_layout.available() and not isinstance(
-        data_search_host, (list, tuple)
-    ):
-        native_layout.scatter_rows(
-            data_search_host, order, pos, store_host, scales_host,
-            normalized=normalized,
-        )
-        ids_host[pos] = order
-    else:
+    native_ok = (
+        native_layout.available()
+        and not isinstance(data_search_host, (list, tuple))
+        # the C++ kernel handles f32/f16/bf16 sources and bf16/f32/int8
+        # stores; anything else (e.g. float64 corpora) takes the NumPy path
+        and str(np.asarray(data_search_host[:1]).dtype)
+        in ("float32", "float16", "bfloat16")
+        and str(store_host.dtype) in ("float32", "bfloat16", "int8")
+    )
+    if native_ok:
+        try:
+            native_layout.scatter_rows(
+                data_search_host, order, pos, store_host, scales_host,
+                normalized=normalized,
+            )
+            ids_host[pos] = order
+        except (ValueError, RuntimeError) as e:
+            log.info("native layout rejected inputs (%s); NumPy fallback", e)
+            native_ok = False
+    if not native_ok:
         direct = (not quantized and normalized
                   and np.asarray(data_search_host[:1]).dtype == dtype)
         for lo in range(0, n, chunk):

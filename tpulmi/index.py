@@ -385,6 +385,12 @@ class LearnedIndex:
             max_bucket=self.built.max_bucket,
         )
         self._search_programs = {}
+        if self._sharded is not None:
+            # re-shard from the quantized store: keeping the stale
+            # full-precision shards would silently search them (and hold
+            # both copies in HBM)
+            _, mesh = self._sharded
+            self.shard(mesh)
         if host_corpus is not None:
             self._host_corpus = (host_corpus, normalized)
 
@@ -552,6 +558,10 @@ class LearnedIndex:
                            max(4 * n_slots // built.store.n_categories, 128))),
         )
         while True:
+            # the probe pipeline reshapes (n_qchunks, qc) -> qpb_pad rows,
+            # so the pad must be a whole number of query chunks (512 inside
+            # the sharded program) — same rounding as the flat path
+            qpb_pad = -(-qpb_pad // min(512, qpb_pad)) * min(512, qpb_pad)
             prog_key = (n_buckets, k_eff, qpb_pad, data_chunk, max_chunks,
                         scfg.compute_dtype)
             program = self._sharded_programs.get(prog_key)

@@ -7,6 +7,7 @@ the NumPy fallback in tpulmi/hoststore.py when no toolchain is available.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,7 +20,15 @@ log = get_logger("tpulmi.native")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "layout.cpp")
-_SO = os.path.join(_HERE, "_layout.so")
+
+
+def _so_path() -> str:
+    """Shared-library cache path keyed by the SOURCE HASH (not mtime:
+    checkouts give every file the same timestamp, which would silently keep
+    a stale binary). The .so is a build artifact, never committed."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"_layout_{digest}.so")
 
 _DTYPE_CODES = {"float32": 0, "float16": 1, "bfloat16": 2, "int8": 3}
 
@@ -36,14 +45,14 @@ class _NativeLayout:
                 return self._lib
             self._tried = True
             try:
-                if (not os.path.exists(_SO)
-                        or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                so = _so_path()
+                if not os.path.exists(so):
                     cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                           "-std=c++17", _SRC, "-o", _SO]
+                           "-std=c++17", _SRC, "-o", so]
                     subprocess.run(cmd, check=True, capture_output=True,
                                    timeout=120)
-                    log.info("compiled native layout kernel: %s", _SO)
-                lib = ctypes.CDLL(_SO)
+                    log.info("compiled native layout kernel: %s", so)
+                lib = ctypes.CDLL(so)
                 fn = lib.tpulmi_scatter_rows
                 fn.restype = ctypes.c_int
                 fn.argtypes = [

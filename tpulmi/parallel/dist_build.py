@@ -53,12 +53,14 @@ def get_dist_nav_program(model, tx, mesh: Mesh, *, n_local: int, d_nav: int,
 
     axis = mesh.axis_names[0]
     n_shards = int(mesh.devices.size)
+    # per-chip batch: global batch_size split across chips. The schedule is
+    # derived from LOCAL terms (steps_per_epoch = n_local // local_batch) so
+    # the per-epoch permutation slice always covers steps*batch rows — a
+    # global-terms schedule overflows n_local when batch_size < n_shards.
+    local_batch = min(max(batch_size // n_shards, 1), n_local)
     epochs_eff, steps_per_epoch, total_steps = train_plan(
-        n_local * n_shards, epochs, batch_size, max_train_steps
+        n_local, epochs, local_batch, max_train_steps
     )
-    # per-chip batch: global batch_size split across chips
-    local_batch = max(batch_size // n_shards, 1)
-    local_batch = min(local_batch, n_local)
     m_local = max(min(n_local, kmeans_train_points // n_shards), 1)
 
     def loss_fn(params, xb, yb):

@@ -154,10 +154,14 @@ def _probe_search_impl(
                             sims = sims * s_blk[None, :]
                         dists = 1.0 - sims  # (qc, mc) f32
                         row = start + jax.lax.broadcasted_iota(jnp.int32, (1, mc), 1)
-                        in_bucket = jnp.logical_and(
-                            row >= dstart, row < (dstart + dcnt)
+                        # lower bound is the chunk's NOMINAL start, not the
+                        # bucket start: a clamped tail slice re-covers rows
+                        # of earlier chunks, and a bucket-level bound would
+                        # let those duplicates into the running top-k
+                        in_chunk = jnp.logical_and(
+                            row >= dstart + j * mc, row < (dstart + dcnt)
                         )
-                        dists = jnp.where(in_bucket, dists, SENTINEL_DIST)
+                        dists = jnp.where(in_chunk, dists, SENTINEL_DIST)
                         cat_d = jnp.concatenate([best_d, dists], axis=1)
                         cat_i = jnp.concatenate(
                             [best_i,

@@ -62,6 +62,21 @@ def trace(log_dir: str = "/tmp/tpulmi_trace"):
     log.info("profiler trace written to %s", log_dir)
 
 
+def probe_work_model(slot_counts, bucket_counts, d: int, qc: int, mc: int,
+                     elem_bytes: int):
+    """FLOPs and HBM bytes the probe phase must move for a workload:
+    per bucket, ceil(slots/qc) query blocks each scan the bucket's
+    mc-padded rows. The single source of truth for the kernel
+    microbenchmarks (scripts/kbench.py) and the bench JSON's MFU fields."""
+    import numpy as np
+
+    qblocks = np.ceil(np.asarray(slot_counts, np.float64) / qc)
+    rows_pad = np.ceil(np.asarray(bucket_counts, np.float64) / mc) * mc
+    flops = float(np.sum(qblocks * qc * rows_pad) * d * 2)
+    bytes_hbm = float(np.sum(qblocks * rows_pad) * d * elem_bytes)
+    return flops, bytes_hbm
+
+
 def timeit(fn: Callable, *args, repeats: int = 3, warmup: int = 1, **kwargs):
     """Best-of-N wall time of `fn(*args)` with true syncs; returns
     (best_seconds, last_result)."""
