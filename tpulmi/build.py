@@ -139,11 +139,14 @@ def make_build_program(
     @jax.jit
     def build_program(data_nav, data_search, key):
         kkey, ikey, tkey = jax.random.split(key, 3)
-        data_nav = data_nav.astype(jnp.float32)
+        # data_nav stays in its SOURCE precision (callers pass bf16 for
+        # large corpora); every consumer casts its own chunk/batch to f32.
+        # A whole-array f32 cast plus the padded copy below would hold
+        # ~3 full-size copies — 19 GB at 20M x 96, past HBM.
 
         # ---- 1. k-means: Lloyd on a random subsample, then full assign ----
         perm = jax.random.permutation(kkey, n)
-        train_x = jnp.take(data_nav, perm[:n_train], axis=0)
+        train_x = jnp.take(data_nav, perm[:n_train], axis=0).astype(jnp.float32)
         centroids0 = train_x[:n_categories]  # distinct random points
 
         def lloyd_step(c, _):
@@ -161,7 +164,9 @@ def make_build_program(
         nav_pad = jnp.pad(data_nav, ((0, n_chunks * chunk - n), (0, 0)))
 
         def assign_body(_, i):
-            block = jax.lax.dynamic_slice(nav_pad, (i * chunk, 0), (chunk, d_nav))
+            block = jax.lax.dynamic_slice(
+                nav_pad, (i * chunk, 0), (chunk, d_nav)
+            ).astype(jnp.float32)
             return None, jnp.argmin(_sq_dists(block, centroids), axis=1).astype(jnp.int32)
 
         _, labels = jax.lax.scan(assign_body, None, jnp.arange(n_chunks))
@@ -178,7 +183,7 @@ def make_build_program(
 
         def train_step(carry, batch_idx):
             params, opt_state = carry
-            xb = jnp.take(data_nav, batch_idx, axis=0)
+            xb = jnp.take(data_nav, batch_idx, axis=0).astype(jnp.float32)
             yb = jnp.take(labels, batch_idx, axis=0)
             loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -190,7 +195,9 @@ def make_build_program(
         # ---- 3. full-data argmax predict (bucket assignment = the model's
         # own partition, matching the reference `search/li/LearnedIndex.py:67,240`) ----
         def predict_body(_, i):
-            block = jax.lax.dynamic_slice(nav_pad, (i * chunk, 0), (chunk, d_nav))
+            block = jax.lax.dynamic_slice(
+                nav_pad, (i * chunk, 0), (chunk, d_nav)
+            ).astype(jnp.float32)
             logits = model.apply({"params": params}, block)
             return None, jnp.argmax(logits, axis=1).astype(jnp.int32)
 

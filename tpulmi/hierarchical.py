@@ -107,14 +107,16 @@ class JointRouterClassifier:
 
         self._predict_chunk = jax.jit(
             lambda p, x: jnp.argmax(
-                self.model.apply({"params": p}, x), axis=1
+                self.model.apply({"params": p}, x.astype(jnp.float32)), axis=1
             ).astype(jnp.int32)
         )
 
     def predict(self, X, chunk: int = 131072) -> jnp.ndarray:
         """Joint-argmax global bucket per row (one compiled program per
-        chunk shape; the tail chunk is padded to the full chunk size)."""
-        X = jnp.asarray(X, jnp.float32)
+        chunk shape; the tail chunk is padded to the full chunk size).
+        Accepts bf16 — chunks are cast to f32 on device, so no full-size
+        f32 copy materializes for large corpora."""
+        X = jnp.asarray(X)
         n = int(X.shape[0])
         if n <= chunk:
             return self._predict_chunk(self.params, X)
