@@ -57,3 +57,44 @@ def test_baseline_matches_numpy_and_is_one_based(rng):
     want_d, want_i = exact_knn(queries, data, k=5)
     np.testing.assert_allclose(dists, np.asarray(want_d), atol=1e-6)
     np.testing.assert_array_equal(nns, np.asarray(want_i) + 1)
+
+
+def test_f32_to_bf16_bits_matches_ml_dtypes(rng):
+    import ml_dtypes
+
+    from tpulmi.data import _f32_to_bf16_bits
+
+    x = rng.normal(size=4096).astype(np.float32) * 10.0
+    x = np.concatenate([x, np.array(
+        [0.0, -0.0, np.inf, -np.inf, 3.4e38, -3.4e38, 1e-40, np.nan],
+        np.float32)])
+    got = _f32_to_bf16_bits(x)
+    want = x.astype(ml_dtypes.bfloat16).view(np.uint16)
+    # NaN payloads may differ between implementations; compare NaN-ness there
+    nan = np.isnan(x)
+    np.testing.assert_array_equal(got[~nan], want[~nan])
+    assert np.all(np.isnan(got[nan].view(ml_dtypes.bfloat16).astype(np.float32)))
+
+
+def test_synthetic_dataset_big_host_backend(tmp_path):
+    import ml_dtypes
+
+    from tpulmi.data import synthetic_dataset_big
+
+    kw = dict(n=3000, n_queries=16, d_nav=8, d_search=32, n_clusters=6,
+              seed=3, cache_dir=str(tmp_path), chunk=1000)
+    ds = synthetic_dataset_big(**kw)
+    assert ds["data_search"].dtype == ml_dtypes.bfloat16
+    assert ds["data_search"].shape == (3000, 32)
+    assert ds["data_nav"].shape == (3000, 8)
+    assert ds["queries_search"].dtype == np.float32
+    norms = np.linalg.norm(np.asarray(ds["data_search"], np.float32), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=2e-2)  # bf16 rounding
+    np.testing.assert_allclose(
+        np.linalg.norm(ds["queries_search"], axis=1), 1.0, atol=1e-5)
+    # disk cache round-trips bit-exactly
+    ds2 = synthetic_dataset_big(**kw)
+    np.testing.assert_array_equal(
+        np.asarray(ds2["data_search"]).view(np.uint16),
+        np.asarray(ds["data_search"]).view(np.uint16))
+    np.testing.assert_array_equal(ds2["queries_nav"], ds["queries_nav"])

@@ -178,6 +178,17 @@ def _store(result_dir, kind, size, identifier, algo, dists, nns,
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even where a sitecustomize force-selects a backend
+    # via jax.config at interpreter startup (which silently overrides the env
+    # var): restore standard JAX semantics so `JAX_PLATFORMS=cpu python -m
+    # tpulmi.cli ...` runs offline/CI on CPU as written.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dataset", default="pca96v2")
     parser.add_argument("--emb", default="pca96")
