@@ -61,3 +61,39 @@ def test_exact_knn_streamed_bf16_corpus(rng):
     queries = data[:8]  # self-queries: nearest neighbor must be itself
     _, ids = exact_knn_streamed(queries, host, k=1, chunk=256)
     np.testing.assert_array_equal(ids[:, 0], np.arange(8))
+
+
+@pytest.mark.parametrize("store_dtype", ["bfloat16", "int8"])
+def test_layout_and_upload_overlap_matches_blocking(rng, store_dtype):
+    """The slab-pipelined upload must produce a device store bit-identical
+    to the serial layout-then-device_put path (same host arrays, same
+    device bytes), including per-row int8 scales."""
+    import jax
+
+    from tpulmi.hoststore import layout_and_upload
+
+    n, d, n_cat = 5000, 32, 7
+    pred = rng.integers(0, n_cat, size=n).astype(np.int32)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+
+    kw = dict(row_align=64, store_dtype=store_dtype, normalized=True,
+              pad_rows=128)
+    a_b, dev_b = layout_and_upload(pred, data, n_cat, overlap=False, **kw)
+    # tiny slabs force many pipelined updates incl. a partial tail slab
+    a_o, dev_o = layout_and_upload(pred, data, n_cat, overlap=True,
+                                   slab_rows=512, **kw)
+
+    np.testing.assert_array_equal(
+        np.asarray(a_o.data_sorted).view(np.uint16 if store_dtype ==
+                                         "bfloat16" else np.int8),
+        np.asarray(a_b.data_sorted).view(np.uint16 if store_dtype ==
+                                         "bfloat16" else np.int8))
+    np.testing.assert_array_equal(a_o.ids_sorted, a_b.ids_sorted)
+    got = np.asarray(jax.device_get(dev_o))
+    want = np.asarray(jax.device_get(dev_b))
+    np.testing.assert_array_equal(
+        got.view(np.uint16) if store_dtype == "bfloat16" else got,
+        want.view(np.uint16) if store_dtype == "bfloat16" else want)
+    if store_dtype == "int8":
+        np.testing.assert_array_equal(a_o.scales, a_b.scales)

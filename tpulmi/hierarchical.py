@@ -274,14 +274,16 @@ class HierarchicalIndex(LearnedIndex):
         data_search_host,
         normalized: bool = False,
         store_dtype: str = "bfloat16",
+        overlap_upload: bool = False,
     ) -> Tuple[np.ndarray, float]:
         """Large-corpus build: navigation on device, flat G·C store laid out
-        host-side (native kernel) and uploaded once. With
-        ``store_dtype='int8'`` this is the 20M+/chip configuration."""
+        host-side (native kernel) and uploaded once (or slab-pipelined with
+        the layout when ``overlap_upload=True``). With ``store_dtype='int8'``
+        this is the 20M+/chip configuration."""
         import time
 
         from tpulmi.buckets import BucketStore
-        from tpulmi.hoststore import layout_host_store
+        from tpulmi.hoststore import ensure_in_ram, layout_and_upload
 
         start = time.perf_counter()
         hcfg = self.hconfig
@@ -290,16 +292,14 @@ class HierarchicalIndex(LearnedIndex):
         t_nav = time.perf_counter() - start
         log.info("hierarchical host-store build: nav stages %.1fs", t_nav)
 
-        from tpulmi.hoststore import ensure_in_ram
-
         data_search_host = ensure_in_ram(data_search_host)
-        arrays = layout_host_store(
+        arrays, data_sorted_dev = layout_and_upload(
             pred, data_search_host, hcfg.n_groups * cfg.n_categories,
             row_align=cfg.row_align, store_dtype=store_dtype,
-            normalized=normalized,
+            normalized=normalized, overlap=overlap_upload,
         )
         store = BucketStore(
-            data_sorted=jax.device_put(arrays.data_sorted),
+            data_sorted=data_sorted_dev,
             ids_sorted=jax.device_put(arrays.ids_sorted),
             offsets=jax.device_put(jnp.asarray(arrays.offsets)),
             counts=jax.device_put(jnp.asarray(arrays.counts)),

@@ -62,11 +62,23 @@ def layout_host_store(
     normalized: bool = False,
     pad_rows: int = 4096,
     chunk: int = 1_000_000,
+    progress_cb=None,
+    on_alloc=None,
 ) -> HostStoreArrays:
     """Lay `data_search_host` out in bucket-sorted aligned order on the host.
 
     `pred` is the (n,) int bucket label per row. `store_dtype` is
-    "bfloat16", "float32", or "int8" (int8 adds per-row scales)."""
+    "bfloat16", "float32", or "int8" (int8 adds per-row scales).
+
+    `progress_cb(final_rows)`, if given, is called after each source chunk
+    with a store-row watermark: rows `[0, final_rows)` of `data_sorted` are
+    final and will never be written again (destination positions are
+    strictly increasing because the stable label sort makes `pos`
+    monotone). This is what lets an uploader pipeline slabs of the store
+    to the device while the tail is still being laid out. `on_alloc(
+    store_host, total_rows)` fires once, right after the store buffer is
+    allocated (before any scatter), so the consumer can size its device
+    buffer."""
     import ml_dtypes
 
     align = max(row_align, 1)
@@ -98,6 +110,8 @@ def layout_host_store(
     sorted_labels = pred[order]
     rank = np.arange(n, dtype=np.int64) - raw_offsets[sorted_labels]
     pos = offsets[sorted_labels].astype(np.int64) + rank
+    if on_alloc is not None:
+        on_alloc(store_host, n_total + pad_rows)
 
     from tpulmi.native import native_layout
 
@@ -111,13 +125,24 @@ def layout_host_store(
         and str(store_host.dtype) in ("float32", "bfloat16", "int8")
     )
     if native_ok:
+        progressed = False
         try:
-            native_layout.scatter_rows(
-                data_search_host, order, pos, store_host, scales_host,
-                normalized=normalized,
-            )
-            ids_host[pos] = order
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                native_layout.scatter_rows(
+                    data_search_host, order[lo:hi], pos[lo:hi], store_host,
+                    scales_host, normalized=normalized,
+                )
+                ids_host[pos[lo:hi]] = order[lo:hi]
+                if progress_cb is not None:
+                    progress_cb(int(pos[hi - 1]) + 1)
+                    progressed = True
         except (ValueError, RuntimeError) as e:
+            if progressed:
+                # watermarks were already consumed (slabs may be uploaded);
+                # a from-scratch fallback could disagree bit-for-bit with
+                # them (native int8 rounding != numpy's) — fail loudly
+                raise
             log.info("native layout rejected inputs (%s); NumPy fallback", e)
             native_ok = False
     if not native_ok:
@@ -145,9 +170,13 @@ def layout_host_store(
                 else:
                     store_host[pos[lo:hi]] = rows.astype(dtype)
             ids_host[pos[lo:hi]] = order[lo:hi]
+            if progress_cb is not None:
+                progress_cb(int(pos[hi - 1]) + 1)
 
     log.info("host layout: %d rows -> %d aligned (+%d pad) in %.1fs",
              n, n_total, pad_rows, time.perf_counter() - t0)
+    if progress_cb is not None:
+        progress_cb(n_total + pad_rows)  # alignment gaps + tail pad are final
     return HostStoreArrays(
         data_sorted=store_host,
         ids_sorted=ids_host,
@@ -158,3 +187,110 @@ def layout_host_store(
         pad_rows=pad_rows,
         row_align=align,
     )
+
+
+
+
+def layout_and_upload(
+    pred: np.ndarray,
+    data_search_host,
+    n_categories: int,
+    *,
+    row_align: int = 1,
+    store_dtype: str = "bfloat16",
+    normalized: bool = False,
+    pad_rows: int = 4096,
+    chunk: int = 1_000_000,
+    overlap: bool = True,
+    slab_rows: int = 2_097_152,
+):
+    """`layout_host_store` plus the big `data_sorted` device upload, with
+    the two pipelined: an uploader thread streams finalized slabs of the
+    store to the device (in-place `dynamic_update_slice` into a donated
+    device buffer) while the host scatter is still laying out the tail.
+    Safe because store positions are strictly increasing during layout
+    (see `layout_host_store`); on a slow host↔device link the upload
+    dominates, so overlapping hides the layout wall time entirely.
+
+    Returns `(arrays, data_sorted_dev)` — the host arrays (whose small
+    ids/offsets/counts/scales the caller still device_puts) and the
+    fully-uploaded device copy of `data_sorted`.
+
+    `overlap=False`, or any uploader failure, falls back to the serial
+    path: full host layout, then one blocking `device_put`."""
+    import queue
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    if overlap:
+        slab_rows = max(int(slab_rows), 1)
+        marks: "queue.Queue" = queue.Queue()
+        state = {"err": None, "buf": None}
+
+        def uploader():
+            try:
+                put = jax.jit(
+                    lambda b, s, lo: jax.lax.dynamic_update_slice(
+                        b, s, (lo, jnp.int32(0))),
+                    donate_argnums=0,
+                )
+                buf = None
+                uploaded = 0
+                while True:
+                    item = marks.get()
+                    if item is None:  # layout aborted
+                        return
+                    kind, payload = item
+                    if kind == "alloc":
+                        store_host, total = payload
+                        buf = jnp.zeros(
+                            (total, store_host.shape[1]),
+                            jnp.asarray(store_host[:1]).dtype)
+                        continue
+                    rows_done = payload
+                    done = rows_done >= store_host.shape[0]
+                    target = (store_host.shape[0] if done
+                              else (rows_done // slab_rows) * slab_rows)
+                    while uploaded < target:
+                        hi = min(uploaded + slab_rows, target)
+                        slab = jax.device_put(store_host[uploaded:hi])
+                        buf = put(buf, slab, jnp.int32(uploaded))
+                        uploaded = hi
+                    if done:
+                        jax.device_get(buf[-1, :1])  # commit
+                        state["buf"] = buf
+                        return
+            except Exception as e:  # noqa: BLE001 — surfaced to caller
+                state["err"] = e
+
+        th = threading.Thread(target=uploader, name="store-upload",
+                              daemon=True)
+        th.start()
+        try:
+            arrays = layout_host_store(
+                pred, data_search_host, n_categories, row_align=row_align,
+                store_dtype=store_dtype, normalized=normalized,
+                pad_rows=pad_rows, chunk=chunk,
+                on_alloc=lambda store, total: marks.put(
+                    ("alloc", (store, total))),
+                progress_cb=lambda rows: marks.put(("rows", rows)),
+            )
+        except BaseException:
+            marks.put(None)
+            th.join()
+            raise
+        th.join()
+        if state["buf"] is not None:
+            return arrays, state["buf"]
+        log.info("overlapped store upload unavailable (%s); blocking upload",
+                 state["err"])
+        return arrays, jax.device_put(arrays.data_sorted)
+
+    arrays = layout_host_store(
+        pred, data_search_host, n_categories, row_align=row_align,
+        store_dtype=store_dtype, normalized=normalized,
+        pad_rows=pad_rows, chunk=chunk,
+    )
+    return arrays, jax.device_put(arrays.data_sorted)

@@ -258,6 +258,7 @@ class LearnedIndex:
         data_search_host,
         normalized: bool = False,
         store_dtype: str = "bfloat16",
+        overlap_upload: bool = False,
     ) -> Tuple[np.ndarray, float]:
         """Large-scale build: navigation stages (k-means, MLP, predict) run
         on device, but the search-space store is laid out on the HOST and
@@ -274,7 +275,12 @@ class LearnedIndex:
         scales (tpulmi/ops/quantize.py): half the upload bytes and HBM of
         bf16 (~20M x 768 rows/chip), searched natively by both probe
         backends; `search` reranks the final candidates against
-        `data_search_host` to erase the ~1e-3 quantization error."""
+        `data_search_host` to erase the ~1e-3 quantization error.
+
+        ``overlap_upload=True`` pipelines the store upload with the host
+        layout (`tpulmi.hoststore.layout_and_upload`): finalized slabs
+        stream to the device while the scatter is still writing the tail,
+        hiding the layout wall time behind the transfer."""
         cfg = self.config
         start = time.perf_counter()
         n_categories = cfg.n_categories
@@ -320,29 +326,30 @@ class LearnedIndex:
 
         # ---- host-side bucket-sorted aligned layout (native kernel when
         # the toolchain allows, NumPy otherwise — tpulmi/hoststore.py) ----
-        from tpulmi.hoststore import ensure_in_ram, layout_host_store
+        from tpulmi.hoststore import ensure_in_ram, layout_and_upload
 
         data_search_host = ensure_in_ram(data_search_host)
-        arrays = layout_host_store(
+        arrays, data_sorted_dev = layout_and_upload(
             pred, data_search_host, n_categories,
             row_align=cfg.row_align, store_dtype=store_dtype,
-            normalized=normalized,
+            normalized=normalized, overlap=overlap_upload,
         )
         quantized = arrays.scales is not None
-        store_host, ids_host = arrays.data_sorted, arrays.ids_sorted
+        ids_host = arrays.ids_sorted
         offsets, counts = arrays.offsets, arrays.counts
         scales_host, pad_rows, align = (
             arrays.scales, arrays.pad_rows, arrays.row_align
         )
         t_layout = time.perf_counter() - start - t_nav
-        log.info("host-store build: layout %.1fs", t_layout)
+        log.info("host-store build: layout%s %.1fs",
+                 "+upload (overlapped)" if overlap_upload else "", t_layout)
 
         # NOTE: this upload is bounded by the environment's host<->device
         # relay (~20-30 MB/s measured for every dtype) — ~13 min for a 10M
         # bf16 store. On directly-attached TPU hosts device_put runs at
         # PCIe/link speed and this is seconds.
         store = BucketStore(
-            data_sorted=jax.device_put(store_host),
+            data_sorted=data_sorted_dev,
             ids_sorted=jax.device_put(ids_host),
             offsets=jax.device_put(jnp.asarray(offsets)),
             counts=jax.device_put(jnp.asarray(counts)),
