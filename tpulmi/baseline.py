@@ -75,6 +75,14 @@ def exact_knn_streamed(
             best_d, best_i, queries_d, block_d,
             jnp.int32(lo), jnp.int32(hi - lo), k=k,
         )
+        # Backpressure: without a true barrier (device_get — NOTES.md: the
+        # remote backend's block_until_ready is a no-op) this loop enqueues
+        # the ENTIRE corpus as pending async transfers; tens of GB of
+        # buffered futures wedge the transfer stream outright and hold
+        # every staged block in host RAM.
+        jax.device_get(best_d[-1:, :1])
+        if lo // chunk % 8 == 0:
+            log.info("exact_knn_streamed: %d/%d rows", hi, n)
     return np.asarray(jax.device_get(best_d)), np.asarray(jax.device_get(best_i))
 
 

@@ -257,6 +257,10 @@ def layout_and_upload(
                         hi = min(uploaded + slab_rows, target)
                         slab = jax.device_put(store_host[uploaded:hi])
                         buf = put(buf, slab, jnp.int32(uploaded))
+                        # true barrier per slab: unsynchronized async
+                        # transfers pile up in host RAM and can wedge the
+                        # remote transfer stream (NOTES.md rule 7/8)
+                        jax.device_get(buf[-1, :1])
                         uploaded = hi
                     if done:
                         jax.device_get(buf[-1, :1])  # commit
