@@ -90,11 +90,16 @@ def main():
     )
     import ml_dtypes
     hi = HierarchicalIndex(cfg)
-    data_search = np.asarray(ds["data_search"])  # materialize mmap in RAM
     t_build = time.perf_counter()
+    # pass the corpus memmap straight through: the build's ensure_in_ram
+    # makes the ONE RAM copy (np.asarray of a memmap view is a no-op, and
+    # a second materialization would blow host RAM at 20M x 768);
+    # overlap_upload slab-pipelines the 15.7 GB int8 store upload with the
+    # host layout — one blocking device_put of that size stages multiple
+    # host-RAM copies in the remote-backend client and OOMs the host
     hi.build_with_host_store(
-        ds["data_nav"].astype(ml_dtypes.bfloat16), data_search,
-        normalized=True, store_dtype="int8",
+        ds["data_nav"].astype(ml_dtypes.bfloat16), ds["data_search"],
+        normalized=True, store_dtype="int8", overlap_upload=True,
     )
     t_build = time.perf_counter() - t_build
 

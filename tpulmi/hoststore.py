@@ -202,7 +202,7 @@ def layout_and_upload(
     pad_rows: int = 4096,
     chunk: int = 1_000_000,
     overlap: bool = True,
-    slab_rows: int = 2_097_152,
+    slab_rows: int = 1_048_576,
 ):
     """`layout_host_store` plus the big `data_sorted` device upload, with
     the two pipelined: an uploader thread streams finalized slabs of the
