@@ -110,7 +110,7 @@ def main():
 
     # batch queries: at 20M the int8 store leaves ~1.5 GB of HBM headroom,
     # and the kernel's per-slot query gather scales with Q * probes
-    scfg = SearchConfig(k=K, n_buckets=N_PROBES, batch_queries=5000,
+    scfg = SearchConfig(k=K, n_buckets=N_PROBES, batch_queries=2500,
                         pallas_qc=256)
     hi.search(q_nav, q_search, n_buckets=N_PROBES, k=K,
               search_config=scfg)  # warmup/compile

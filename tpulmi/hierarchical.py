@@ -292,6 +292,14 @@ class HierarchicalIndex(LearnedIndex):
         t_nav = time.perf_counter() - start
         log.info("hierarchical host-store build: nav stages %.1fs", t_nav)
 
+        # Park the small nav outputs on the HOST so the device heap is
+        # empty before the store allocation: a near-HBM-sized buffer needs
+        # one contiguous region, and router params/centroids left sitting
+        # mid-heap fragment it (observed: 15.7 GB alloc RESOURCE_EXHAUSTED
+        # on a chip that fits 16.5 GB when empty). Re-uploaded below.
+        classifier.params = jax.device_get(classifier.params)
+        centroids = np.asarray(jax.device_get(centroids))
+
         data_search_host = ensure_in_ram(data_search_host)
         arrays, data_sorted_dev = layout_and_upload(
             pred, data_search_host, hcfg.n_groups * cfg.n_categories,
@@ -310,6 +318,8 @@ class HierarchicalIndex(LearnedIndex):
                     if arrays.scales is not None else None),
         )
         jax.device_get(store.data_sorted[-1, :1])
+        # restore the router to the device (parked on host above)
+        classifier.params = jax.device_put(classifier.params)
         build_time = time.perf_counter() - start
         log.info("hierarchical host-store build: total %.1fs", build_time)
         self.built = BuiltIndex(

@@ -288,6 +288,11 @@ def layout_and_upload(
         th.join()
         if state["buf"] is not None:
             return arrays, state["buf"]
+        if "RESOURCE_EXHAUSTED" in str(state["err"]):
+            # device OOM: a blocking device_put of the same array can only
+            # fail the same way (after staging the whole transfer in host
+            # RAM) — surface it instead
+            raise state["err"]
         log.info("overlapped store upload unavailable (%s); blocking upload",
                  state["err"])
         return arrays, jax.device_put(arrays.data_sorted)

@@ -323,6 +323,12 @@ class LearnedIndex:
         import gc
 
         gc.collect()
+        # park the remaining small nav outputs on the HOST too: a
+        # near-HBM-sized store needs one contiguous region, and params/
+        # centroids sitting mid-heap fragment it (re-uploaded after the
+        # store lands)
+        classifier.params = jax.device_get(classifier.params)
+        centroids = np.asarray(jax.device_get(centroids))
 
         # ---- host-side bucket-sorted aligned layout (native kernel when
         # the toolchain allows, NumPy otherwise — tpulmi/hoststore.py) ----
@@ -359,6 +365,8 @@ class LearnedIndex:
             scales=(jax.device_put(scales_host) if quantized else None),
         )
         jax.device_get(store.data_sorted[-1, :1])
+        # restore the router to the device (parked on host above)
+        classifier.params = jax.device_put(classifier.params)
         build_time = time.perf_counter() - start
         log.info("host-store build: total %.1fs (upload %.1fs)",
                  build_time, build_time - t_nav - t_layout)
