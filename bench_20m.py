@@ -42,7 +42,11 @@ D_NAV = 96
 D_SEARCH = 768
 N_GROUPS = 8
 N_CAT_INNER = 61        # 8 x 61 = 488 global buckets (~41k rows each)
-N_PROBES = 16           # global probes under the joint router
+# Global probe budgets under the joint router, swept upward until the
+# recall gate clears: 16/488 (3.3% of buckets, the 10M run's fraction)
+# measured 0.827 — the two-level router needs a deeper probe budget than
+# the flat 122-bucket index, and probes are a search-time knob.
+PROBE_SWEEP = (16, 24, 32, 48, 64)
 K = 10
 SEED = 2023
 
@@ -108,24 +112,51 @@ def main():
     q_search = jax.device_put(jnp.asarray(ds["queries_search"]))
     jax.device_get(q_search[-1, :1])
 
-    # batch queries: at 20M the int8 store leaves ~1.5 GB of HBM headroom,
+    # batch queries: at 20M the int8 store leaves ~1 GB of HBM headroom,
     # and the kernel's per-slot query gather scales with Q * probes
-    scfg = SearchConfig(k=K, n_buckets=N_PROBES, batch_queries=2500,
-                        pallas_qc=256)
-    hi.search(q_nav, q_search, n_buckets=N_PROBES, k=K,
-              search_config=scfg)  # warmup/compile
-    times = []
-    for _ in range(3):
-        start = time.perf_counter()
-        dists, ids = hi.search(q_nav, q_search, n_buckets=N_PROBES, k=K,
-                               search_config=scfg)
-        times.append(time.perf_counter() - start)
-    t_search = min(times)
+    def run_at(probes, timed_runs):
+        scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=2500,
+                            pallas_qc=256)
+        hi.search(q_nav, q_search, n_buckets=probes, k=K,
+                  search_config=scfg)  # warmup/compile
+        times = []
+        ids = None
+        for _ in range(timed_runs):
+            start = time.perf_counter()
+            dists, ids = hi.search(q_nav, q_search, n_buckets=probes, k=K,
+                                   search_config=scfg)
+            times.append(time.perf_counter() - start)
+        recall = float(np.mean([
+            len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
+        ]))
+        return min(times), recall
+
+    sweep = []
+    t_search = recall = probes_used = None
+    for probes in PROBE_SWEEP:
+        try:
+            t, r = run_at(probes, timed_runs=1)
+        except Exception as e:  # deep budgets can exhaust HBM headroom —
+            # keep the shallower sweep results instead of dying
+            print(f"# probes={probes} failed: {e}", file=sys.stderr,
+                  flush=True)
+            break
+        sweep.append({"probes": probes, "search_s": round(t, 4),
+                      "recall_at_10": round(r, 4)})
+        print(f"# probes={probes}: {t:.3f}s recall {r:.4f}",
+              file=sys.stderr, flush=True)
+        if r >= RECALL_GATE:
+            # headline at the first budget that clears the gate (best-of-3)
+            t2, _ = run_at(probes, timed_runs=2)
+            t_search, recall, probes_used = min(t, t2), r, probes
+            break
+    if t_search is None:  # nothing cleared the gate; report the deepest
+        if not sweep:
+            raise RuntimeError("no probe budget completed")
+        t_search, recall = sweep[-1]["search_s"], sweep[-1]["recall_at_10"]
+        probes_used = sweep[-1]["probes"]
     qps = N_QUERIES / t_search
 
-    recall = float(np.mean([
-        len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
-    ]))
     ok = recall >= RECALL_GATE
     result = {
         "metric": "search_qps_10k_queries_20M_hier_int8_recall>=0.90",
@@ -134,6 +165,8 @@ def main():
         "vs_baseline": round(qps / REF_QPS, 2) if ok else 0.0,
         "recall_at_10": round(recall, 4),
         "search_s_10k_queries": round(t_search, 4),
+        "n_probes": probes_used,
+        "probe_sweep": sweep,
         "build_s": round(t_build, 2),
         "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
         "n_rows": N,

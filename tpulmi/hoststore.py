@@ -202,7 +202,7 @@ def layout_and_upload(
     pad_rows: int = 4096,
     chunk: int = 1_000_000,
     overlap: bool = True,
-    slab_rows: int = 1_048_576,
+    slab_rows: int = 262_144,
 ):
     """`layout_host_store` plus the big `data_sorted` device upload, with
     the two pipelined: an uploader thread streams finalized slabs of the
@@ -257,6 +257,8 @@ def layout_and_upload(
                         hi = min(uploaded + slab_rows, target)
                         slab = jax.device_put(store_host[uploaded:hi])
                         buf = put(buf, slab, jnp.int32(uploaded))
+                        del slab  # free before staging the next slab: buf
+                        # fills most of HBM, so even two live slabs matter
                         # true barrier per slab: unsynchronized async
                         # transfers pile up in host RAM and can wedge the
                         # remote transfer stream (NOTES.md rule 7/8)
