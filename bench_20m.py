@@ -132,6 +132,9 @@ def main():
         return min(times), recall
 
     sweep = []
+    sweep_raw = []  # unrounded (probes, t, r): the gate must never compare
+    # a 4-decimal-rounded recall (0.89996 rounds to 0.9) — round only when
+    # serializing
     t_search = recall = probes_used = None
     for probes in PROBE_SWEEP:
         try:
@@ -141,6 +144,7 @@ def main():
             print(f"# probes={probes} failed: {e}", file=sys.stderr,
                   flush=True)
             break
+        sweep_raw.append((probes, t, r))
         sweep.append({"probes": probes, "search_s": round(t, 4),
                       "recall_at_10": round(r, 4)})
         print(f"# probes={probes}: {t:.3f}s recall {r:.4f}",
@@ -151,10 +155,9 @@ def main():
             t_search, recall, probes_used = min(t, t2), r, probes
             break
     if t_search is None:  # nothing cleared the gate; report the deepest
-        if not sweep:
+        if not sweep_raw:
             raise RuntimeError("no probe budget completed")
-        t_search, recall = sweep[-1]["search_s"], sweep[-1]["recall_at_10"]
-        probes_used = sweep[-1]["probes"]
+        probes_used, t_search, recall = sweep_raw[-1]
     qps = N_QUERIES / t_search
 
     ok = recall >= RECALL_GATE

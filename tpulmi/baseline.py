@@ -79,8 +79,11 @@ def exact_knn_streamed(
         # remote backend's block_until_ready is a no-op) this loop enqueues
         # the ENTIRE corpus as pending async transfers; tens of GB of
         # buffered futures wedge the transfer stream outright and hold
-        # every staged block in host RAM.
-        jax.device_get(best_d[-1:, :1])
+        # every staged block in host RAM. Barrier every 4th chunk: pending
+        # transfers stay bounded (~4 blocks) while healthy directly-attached
+        # backends keep upload/compute pipelining.
+        if lo // chunk % 4 == 3 or hi == n:
+            jax.device_get(best_d[-1:, :1])
         if lo // chunk % 8 == 0:
             log.info("exact_knn_streamed: %d/%d rows", hi, n)
     return np.asarray(jax.device_get(best_d)), np.asarray(jax.device_get(best_i))

@@ -41,11 +41,18 @@ def recall_at_k(result_knns: np.ndarray, gt_knns: np.ndarray, k: int = 10) -> fl
         raise ValueError(
             f"query count mismatch: results {q} vs ground truth {gt_knns.shape[0]}"
         )
-    hits = 0
-    gt_k = gt_knns[:, :k]
-    res_k = result_knns[:, :k]
-    for i in range(q):
-        hits += len(set(res_k[i]) & set(gt_k[i]))
+    gt_k = np.asarray(gt_knns[:, :k], np.int64)
+    res_k = np.asarray(result_knns[:, :k], np.int64)
+    # vectorized set-intersection: offset ids per row so membership tests
+    # never cross rows, drop within-row duplicates from the results (the
+    # per-row `set` semantics — clamped pad ids can repeat), one np.isin
+    hi = max(int(gt_k.max(initial=0)), int(res_k.max(initial=0))) + 2
+    offset = np.arange(q, dtype=np.int64)[:, None] * hi
+    res_off = np.sort(res_k + offset, axis=1)
+    first = np.concatenate(
+        [np.ones((q, 1), bool), res_off[:, 1:] != res_off[:, :-1]], axis=1
+    )
+    hits = int(np.isin(res_off[first], (gt_k + offset).ravel()).sum())
     return hits / (q * k)
 
 

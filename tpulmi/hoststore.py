@@ -224,6 +224,29 @@ def layout_and_upload(
     import jax
     import jax.numpy as jnp
 
+    # Above this, a single blocking device_put is unsafe on the remote
+    # backend: the client stages multiple host-RAM copies of the whole
+    # array (observed host-OOM at 15.7 GB) — use the serial slab loop.
+    big_bytes = 2 << 30
+
+    def _slab_upload_serial(store_host, rows):
+        """Blocking slab-by-slab upload into a device buffer (the same
+        donated dynamic_update_slice loop the overlapped uploader runs,
+        inline). Bounded host staging; one true barrier per slab."""
+        put = jax.jit(
+            lambda b, s, lo: jax.lax.dynamic_update_slice(
+                b, s, (lo, jnp.int32(0))),
+            donate_argnums=0,
+        )
+        buf = jnp.zeros(store_host.shape, jnp.asarray(store_host[:1]).dtype)
+        for lo in range(0, store_host.shape[0], rows):
+            hi = min(lo + rows, store_host.shape[0])
+            slab = jax.device_put(store_host[lo:hi])
+            buf = put(buf, slab, jnp.int32(lo))
+            del slab
+            jax.device_get(buf[-1, :1])
+        return buf
+
     if overlap:
         slab_rows = max(int(slab_rows), 1)
         marks: "queue.Queue" = queue.Queue()
@@ -295,8 +318,13 @@ def layout_and_upload(
             # fail the same way (after staging the whole transfer in host
             # RAM) — surface it instead
             raise state["err"]
-        log.info("overlapped store upload unavailable (%s); blocking upload",
+        log.info("overlapped store upload unavailable (%s); serial upload",
                  state["err"])
+        if arrays.data_sorted.nbytes > big_bytes:
+            # NOT one whole-array device_put: for near-HBM stores the
+            # remote client stages ~5x host copies of it and the OOM
+            # killer ends the process instead of an exception
+            return arrays, _slab_upload_serial(arrays.data_sorted, slab_rows)
         return arrays, jax.device_put(arrays.data_sorted)
 
     arrays = layout_host_store(
@@ -304,4 +332,7 @@ def layout_and_upload(
         store_dtype=store_dtype, normalized=normalized,
         pad_rows=pad_rows, chunk=chunk,
     )
+    if arrays.data_sorted.nbytes > big_bytes:
+        return arrays, _slab_upload_serial(arrays.data_sorted,
+                                           max(int(slab_rows), 1))
     return arrays, jax.device_put(arrays.data_sorted)

@@ -42,12 +42,15 @@ def get_dist_nav_program(model, tx, mesh: Mesh, *, n_local: int, d_nav: int,
                          n_categories: int, kmeans_iters: int,
                          kmeans_train_points: int, epochs: int,
                          batch_size: int, max_train_steps=None):
+    # id() keys are only safe while the keyed objects stay alive (a GC'd
+    # model's id is reusable); the cache entry therefore pins (model, tx)
+    # alongside the program so a stale id can never alias a live key.
     key = (id(model), id(tx), mesh, n_local, d_nav, n_categories,
            kmeans_iters, kmeans_train_points, epochs, batch_size,
            max_train_steps)
-    prog = _PROGRAMS.get(key)
-    if prog is not None:
-        return prog
+    hit = _PROGRAMS.get(key)
+    if hit is not None:
+        return hit[2]
 
     from tpulmi.models.train import train_plan
 
@@ -145,8 +148,8 @@ def get_dist_nav_program(model, tx, mesh: Mesh, *, n_local: int, d_nav: int,
         c, p, ls, pred = fn(data_sharded, key)
         return DistNavResult(c, p, ls, pred.reshape(-1))
 
-    _PROGRAMS[key] = program
-    return prog or program
+    _PROGRAMS[key] = (model, tx, program)
+    return program
 
 
 def shard_rows(data, mesh: Mesh):
