@@ -150,3 +150,46 @@ def test_hierarchical_host_store_int8(synthetic_small):
         len(set(ids[i]) & set(gt[i])) / 10 for i in range(ids.shape[0])
     ])
     assert recall > 0.85
+
+
+def test_calibrate_outer_weight(synthetic_small, tmp_path):
+    """Router temperature calibration: returns a containment curve, applies
+    the best weight, clears program caches, and the weight survives a
+    checkpoint round trip."""
+    cfg = HierarchicalConfig(
+        n_groups=4,
+        outer_epochs=4,
+        outer_lr=0.003,
+        inner=IndexConfig(n_categories=6, epochs=4, lr=0.003,
+                          model_type="MLP-5", row_align=1),
+    )
+    hi = HierarchicalIndex(cfg)
+    hi.build(synthetic_small["data_nav"], synthetic_small["data_search"])
+    # prime a compiled program so we can observe the cache being cleared
+    hi.search(synthetic_small["queries_nav"][:16],
+              synthetic_small["queries_search"][:16], n_buckets=4, k=5)
+    assert hi._search_programs
+
+    res = hi.calibrate_outer_weight(
+        synthetic_small["data_nav"], probe_budget=6,
+        n_queries=256, n_corpus_sample=2000, grid=(0.5, 0.75, 1.0),
+    )
+    assert res["best"] in (0.5, 0.75, 1.0)
+    assert len(res["containment"]) == 3
+    assert all(0.0 <= c <= 1.0 for c in res["containment"])
+    assert res["best_containment"] == max(res["containment"])
+    assert hi.built.classifier.model.outer_weight == res["best"]
+    assert not hi._search_programs  # caches cleared (w is traced constant)
+
+    # searches still work at the calibrated weight, 1-based ids
+    _, ids = hi.search(
+        synthetic_small["queries_nav"], synthetic_small["queries_search"],
+        n_buckets=8, k=10,
+    )
+    assert ids.min() >= 1
+
+    # weight persists through save/load
+    hi.set_outer_weight(0.6)
+    hi.save(tmp_path / "ckpt")
+    restored = HierarchicalIndex.load(tmp_path / "ckpt")
+    assert restored.built.classifier.model.outer_weight == 0.6

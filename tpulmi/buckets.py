@@ -45,10 +45,26 @@ class BucketStore:
     # quantized; None for full-precision stores. data_sorted rows then hold
     # int8 codes with x ≈ codes * (scales/127)[:, None].
     scales: Optional[jnp.ndarray] = None
+    # Per-bucket pruning bounds (compute_bucket_bounds): unit centroid
+    # (n_categories, d) f32, min over the bucket's rows of x̂·ĉ
+    # (n_categories,) f32, and max row norm (n_categories,) f32. For any
+    # unit query q and row x of bucket b:
+    #   q·x ≤ max_norm_b · max(0, cos(max(0, θ_qc − r_b)))
+    # with cos θ_qc = q·ĉ_b and cos r_b = bucket_cos_r[b] — the
+    # spherical-cap bound behind the threshold tile-skip (the TPU-native
+    # analog of the reference's running-threshold prune,
+    # `search/li/LearnedIndex.py:149-163`, which compacts dynamically).
+    bucket_centroids: Optional[jnp.ndarray] = None
+    bucket_cos_r: Optional[jnp.ndarray] = None
+    bucket_max_norm: Optional[jnp.ndarray] = None
 
     @property
     def is_quantized(self) -> bool:
         return self.scales is not None
+
+    @property
+    def has_bounds(self) -> bool:
+        return self.bucket_centroids is not None
 
     @property
     def n_categories(self) -> int:
@@ -122,6 +138,92 @@ def build_bucket_store(
         pad_rows=int(pad_rows),
         row_align=int(max(row_align, 1)),
     )
+
+
+def compute_bucket_bounds(store: BucketStore, chunk: int = 65536) -> BucketStore:
+    """Two streaming passes over the store computing per-bucket pruning
+    bounds (unit centroid, min row-cosine to it, max row norm) — see the
+    field docs on `BucketStore`. One jitted program, `lax.scan` over
+    fixed-size row chunks, so it works at any store size that fits HBM
+    (the ~400 MB f32 chunk intermediate is the only extra memory).
+
+    Quantized stores are dequantized chunk-by-chunk so the bound holds for
+    the exact distances the probe scan computes on the stored codes."""
+    import math
+    from dataclasses import replace
+
+    rows_total = int(store.data_sorted.shape[0])
+    chunk = min(chunk, rows_total)
+    n_chunks = math.ceil(rows_total / chunk)
+    n_cat = store.n_categories
+    d = store.dim
+
+    @jax.jit
+    def bounds_fn(data, ids, offsets, scales):
+        def load(j):
+            nominal = j * chunk
+            start = jnp.minimum(nominal, rows_total - chunk)
+            rows = jax.lax.dynamic_slice(
+                data, (start, 0), (chunk, d)).astype(jnp.float32)
+            if scales is not None:
+                s = jax.lax.dynamic_slice(scales, (start,), (chunk,))
+                rows = rows * (s / 127.0)[:, None]
+            rid = jax.lax.dynamic_slice(ids, (start,), (chunk,))
+            gidx = start + jnp.arange(chunk, dtype=jnp.int32)
+            # two-sided validity: real rows only, and never re-count the
+            # overlap a clamped tail slice re-reads
+            valid = (rid >= 0) & (gidx >= nominal)
+            labels = jnp.clip(
+                jnp.searchsorted(offsets, gidx, side="right") - 1,
+                0, n_cat - 1,
+            ).astype(jnp.int32)
+            return rows, labels, valid
+
+        def pass1(carry, j):
+            acc_sum, acc_max = carry
+            rows, labels, valid = load(j)
+            w = valid.astype(jnp.float32)
+            acc_sum = acc_sum + jax.ops.segment_sum(
+                rows * w[:, None], labels, num_segments=n_cat)
+            norms = jnp.linalg.norm(rows, axis=1) * w
+            acc_max = jnp.maximum(acc_max, jax.ops.segment_max(
+                norms, labels, num_segments=n_cat))
+            return (acc_sum, acc_max), None
+
+        (c_sum, max_norm), _ = jax.lax.scan(
+            pass1,
+            (jnp.zeros((n_cat, d), jnp.float32),
+             jnp.zeros((n_cat,), jnp.float32)),
+            jnp.arange(n_chunks),
+        )
+        c_norm = jnp.linalg.norm(c_sum, axis=1, keepdims=True)
+        centroids = c_sum / jnp.maximum(c_norm, 1e-12)
+
+        def pass2(acc_min, j):
+            rows, labels, valid = load(j)
+            rhat = rows / jnp.maximum(
+                jnp.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+            cosv = jnp.sum(rhat * jnp.take(centroids, labels, axis=0),
+                           axis=1)
+            cosv = jnp.where(valid, cosv, jnp.inf)
+            acc_min = jnp.minimum(acc_min, jax.ops.segment_min(
+                cosv, labels, num_segments=n_cat))
+            return acc_min, None
+
+        cos_r, _ = jax.lax.scan(
+            pass2, jnp.full((n_cat,), jnp.inf, jnp.float32),
+            jnp.arange(n_chunks),
+        )
+        # empty buckets: max_norm 0 makes the bound 1.0 (always prunable);
+        # clamp cos_r into [-1, 1] for the downstream trig identity
+        cos_r = jnp.clip(jnp.where(jnp.isfinite(cos_r), cos_r, 1.0),
+                         -1.0, 1.0)
+        return centroids, cos_r, max_norm
+
+    centroids, cos_r, max_norm = bounds_fn(
+        store.data_sorted, store.ids_sorted, store.offsets, store.scales)
+    return replace(store, bucket_centroids=centroids, bucket_cos_r=cos_r,
+                   bucket_max_norm=max_norm)
 
 
 def bucket_stats(store: BucketStore) -> Tuple[int, int, float]:

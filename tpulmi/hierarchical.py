@@ -38,6 +38,7 @@ the reference has no >10M story at all (`/root/reference/README.md:16-24`).
 """
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -70,15 +71,29 @@ class JointRouter:
     """Duck-typed flax-like module: ``apply({'params': p}, x)`` returns the
     (Q, G*C) joint log-probability logits. ``p`` is
     ``{'outer': outer_params, 'inner': stacked_inner_params}`` where the
-    inner params carry a leading (G,) axis (vmapped apply)."""
+    inner params carry a leading (G,) axis (vmapped apply).
 
-    def __init__(self, outer_model, inner_model, n_groups: int, n_cat: int):
+    ``outer_weight`` is a calibration temperature on the outer (group)
+    log-probabilities: ``score = w·log P(g|q) + log P(b|q,g)``. The raw
+    joint (w=1) concentrates probe mass in the top group — at 20M the
+    factorized router needed ~3x the flat index's probe fraction for equal
+    recall (BENCH_20M.md r2). w<1 flattens the group term so the top-P
+    global probes spread across plausible groups; `calibrate_outer_weight`
+    picks w against the measured true-neighbor-bucket containment. It is a
+    TRACED CONSTANT in compiled search programs — set it only through
+    `HierarchicalIndex.set_outer_weight`, which clears the program caches."""
+
+    def __init__(self, outer_model, inner_model, n_groups: int, n_cat: int,
+                 outer_weight: float = 1.0):
         self.outer_model = outer_model
         self.inner_model = inner_model
         self.n_groups = n_groups
         self.n_cat = n_cat
+        self.outer_weight = float(outer_weight)
 
-    def apply(self, variables, x):
+    def components(self, variables, x):
+        """(outer log-softmax (Q, G), inner log-softmax (Q, G, C)) —
+        unweighted; used by apply and by the calibration sweep."""
         p = variables["params"]
         lo = jax.nn.log_softmax(
             self.outer_model.apply({"params": p["outer"]}, x), axis=-1
@@ -88,8 +103,11 @@ class JointRouter:
                 self.inner_model.apply({"params": pg}, x), axis=-1
             )
         )(p["inner"])                                         # (G, Q, C)
-        li = jnp.moveaxis(li, 0, 1)                           # (Q, G, C)
-        joint = lo[:, :, None] + li                           # (Q, G, C)
+        return lo, jnp.moveaxis(li, 0, 1)                     # (Q, G, C)
+
+    def apply(self, variables, x):
+        lo, li = self.components(variables, x)
+        joint = self.outer_weight * lo[:, :, None] + li       # (Q, G, C)
         return joint.reshape(x.shape[0], self.n_groups * self.n_cat)
 
 
@@ -105,29 +123,41 @@ class JointRouterClassifier:
         self.n_classes = n_groups * n_cat
         self.model_type = model_type
 
-        self._predict_chunk = jax.jit(
-            lambda p, x: jnp.argmax(
-                self.model.apply({"params": p}, x.astype(jnp.float32)), axis=1
-            ).astype(jnp.int32)
-        )
+    @partial(jax.jit, static_argnames=("self", "chunk"))
+    def _predict_scan(self, params, X, chunk: int):
+        """One program for the whole corpus: `lax.scan` over fixed-size
+        chunks (the `BucketClassifier._predict_chunked` pattern). A Python
+        chunk loop here cost one dispatch round-trip per 131k rows — ~153
+        round-trips x 30-65 ms of pure latency at 20M on the remote
+        backend."""
+        n, d = X.shape
+        n_chunks = (n + chunk - 1) // chunk
+        X_pad = jnp.pad(X, ((0, n_chunks * chunk - n), (0, 0)))
+
+        def body(_, i):
+            block = jax.lax.dynamic_slice(X_pad, (i * chunk, 0), (chunk, d))
+            logits = self.model.apply(
+                {"params": params}, block.astype(jnp.float32)
+            )
+            return None, jnp.argmax(logits, axis=1).astype(jnp.int32)
+
+        _, out = jax.lax.scan(body, None, jnp.arange(n_chunks))
+        return out.reshape(-1)[:n]
 
     def predict(self, X, chunk: int = 131072) -> jnp.ndarray:
-        """Joint-argmax global bucket per row (one compiled program per
-        chunk shape; the tail chunk is padded to the full chunk size).
-        Accepts bf16 — chunks are cast to f32 on device, so no full-size
-        f32 copy materializes for large corpora."""
+        """Joint-argmax global bucket per row, one dispatch for any corpus
+        size. Accepts bf16 — chunks are cast to f32 on device, so no
+        full-size f32 copy materializes for large corpora."""
         X = jnp.asarray(X)
-        n = int(X.shape[0])
-        if n <= chunk:
-            return self._predict_chunk(self.params, X)
-        outs = []
-        for lo in range(0, n, chunk):
-            xb = X[lo:lo + chunk]
-            pad = chunk - int(xb.shape[0])
-            if pad:
-                xb = jnp.pad(xb, ((0, pad), (0, 0)))
-            outs.append(self._predict_chunk(self.params, xb)[:chunk - pad])
-        return jnp.concatenate(outs)
+        chunk = min(chunk, max(128, int(X.shape[0])))
+        return self._predict_scan(self.params, X, chunk)
+
+    # hashable-static support so the jitted method can take `self` static
+    def __hash__(self):
+        return hash((id(self),))
+
+    def __eq__(self, other):
+        return self is other
 
 
 class HierarchicalIndex(LearnedIndex):
@@ -275,15 +305,19 @@ class HierarchicalIndex(LearnedIndex):
         normalized: bool = False,
         store_dtype: str = "bfloat16",
         overlap_upload: bool = False,
+        mesh=None,
     ) -> Tuple[np.ndarray, float]:
         """Large-corpus build: navigation on device, flat G·C store laid out
         host-side (native kernel) and uploaded once (or slab-pipelined with
         the layout when ``overlap_upload=True``). With ``store_dtype='int8'``
-        this is the 20M+/chip configuration."""
-        import time
+        this is the 20M+/chip configuration.
 
-        from tpulmi.buckets import BucketStore
-        from tpulmi.hoststore import ensure_in_ram, layout_and_upload
+        ``mesh`` uploads the layout shard-by-shard to the mesh devices (a
+        shard = a contiguous group range; `mesh` of G devices places one
+        group per chip) — the 100M/v5e-8 configuration, where the flat
+        store exceeds any single chip's HBM and is never resident on one
+        device."""
+        import time
 
         start = time.perf_counter()
         hcfg = self.hconfig
@@ -300,24 +334,11 @@ class HierarchicalIndex(LearnedIndex):
         classifier.params = jax.device_get(classifier.params)
         centroids = np.asarray(jax.device_get(centroids))
 
-        data_search_host = ensure_in_ram(data_search_host)
-        arrays, data_sorted_dev = layout_and_upload(
+        store, arrays, data_search_host = self._host_store_to_built(
             pred, data_search_host, hcfg.n_groups * cfg.n_categories,
-            row_align=cfg.row_align, store_dtype=store_dtype,
-            normalized=normalized, overlap=overlap_upload,
+            store_dtype=store_dtype, normalized=normalized,
+            overlap_upload=overlap_upload, mesh=mesh,
         )
-        store = BucketStore(
-            data_sorted=data_sorted_dev,
-            ids_sorted=jax.device_put(arrays.ids_sorted),
-            offsets=jax.device_put(jnp.asarray(arrays.offsets)),
-            counts=jax.device_put(jnp.asarray(arrays.counts)),
-            n=arrays.n,
-            pad_rows=arrays.pad_rows,
-            row_align=arrays.row_align,
-            scales=(jax.device_put(arrays.scales)
-                    if arrays.scales is not None else None),
-        )
-        jax.device_get(store.data_sorted[-1, :1])
         # restore the router to the device (parked on host above)
         classifier.params = jax.device_put(classifier.params)
         build_time = time.perf_counter() - start
@@ -332,6 +353,131 @@ class HierarchicalIndex(LearnedIndex):
         )
         self._host_corpus = (data_search_host, normalized)
         return pred, build_time
+
+    # ------------------------------------------------------------ calibration
+    def set_outer_weight(self, w: float) -> None:
+        """Set the router's outer temperature (see `JointRouter`). Clears
+        the compiled search-program caches — the weight is a traced
+        constant inside them."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        self.built.classifier.model.outer_weight = float(w)
+        self._search_programs = {}
+        self._sharded_programs = {}
+
+    def calibrate_outer_weight(
+        self,
+        data_nav,
+        probe_budget: int = 16,
+        n_queries: int = 2048,
+        n_corpus_sample: int = 131072,
+        grid: Tuple[float, ...] = (0.25, 0.4, 0.55, 0.7, 0.85, 1.0),
+        seed: int = 97,
+        apply: bool = True,
+    ) -> dict:
+        """Pick the outer temperature that maximizes routing recall at the
+        probe budget, with no labeled queries: sample corpus rows as
+        pseudo-queries, find each one's (self-excluded) nearest neighbor
+        among a corpus subsample in navigation space, and measure — per
+        candidate weight — how often the neighbor's STORED bucket lands in
+        the pseudo-query's top-`probe_budget` joint ranking. The stored
+        assignment (`pred_categories`, fixed at build) is the target;
+        only the query-side ranking changes with w.
+
+        This is the probe-efficiency fix for the factorized router's
+        outer-mass concentration (BENCH_20M.md r2: 3x the flat index's
+        probe fraction at equal recall). The reference has no hierarchy at
+        all; the flat analog of this knob does not exist.
+
+        Returns {"weights": grid, "containment": [...], "best": w,
+        "baseline": containment at w=1}; applies the best w by default."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        rng = np.random.default_rng(seed)
+        data_nav = np.asarray(data_nav)
+        n = data_nav.shape[0]
+        n_queries = min(n_queries, n)
+        n_corpus_sample = min(n_corpus_sample, n)
+        qidx = rng.choice(n, size=n_queries, replace=False)
+        sidx = rng.choice(n, size=n_corpus_sample, replace=False)
+
+        from tpulmi.ops.distance import l2_normalize
+
+        corpus = l2_normalize(
+            jnp.asarray(data_nav[sidx], jnp.float32))
+        sidx_dev = jnp.asarray(sidx, jnp.int32)
+
+        @jax.jit
+        def nn_chunk(q_rows, q_ids):
+            q_rows = l2_normalize(q_rows.astype(jnp.float32))
+            sims = jax.lax.dot_general(
+                q_rows, corpus,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sims = jnp.where(sidx_dev[None, :] == q_ids[:, None],
+                             -jnp.inf, sims)  # exclude self
+            return jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+        chunk = 512
+        nn_local = []
+        for lo in range(0, n_queries, chunk):
+            hi = min(lo + chunk, n_queries)
+            pad = chunk - (hi - lo)
+            q_rows = jnp.asarray(np.pad(
+                data_nav[qidx[lo:hi]].astype(np.float32),
+                ((0, pad), (0, 0))))
+            q_ids = jnp.asarray(np.pad(qidx[lo:hi], (0, pad)), jnp.int32)
+            nn_local.append(np.asarray(
+                jax.device_get(nn_chunk(q_rows, q_ids)))[: hi - lo])
+        nn_global = sidx[np.concatenate(nn_local)]
+        pred = np.asarray(jax.device_get(self.built.pred_categories))
+        target_bucket = pred[nn_global]                     # (n_queries,)
+
+        model = self.built.classifier.model
+        comp = jax.jit(lambda p, x: model.components({"params": p}, x))
+        lo_parts, li_parts = [], []
+        for lo_i in range(0, n_queries, chunk):
+            hi_i = min(lo_i + chunk, n_queries)
+            pad = chunk - (hi_i - lo_i)
+            q_rows = jnp.asarray(np.pad(
+                data_nav[qidx[lo_i:hi_i]].astype(np.float32),
+                ((0, pad), (0, 0))))
+            lo_g, li_g = jax.device_get(
+                comp(self.built.classifier.params, q_rows))
+            lo_parts.append(np.asarray(lo_g)[: hi_i - lo_i])
+            li_parts.append(np.asarray(li_g)[: hi_i - lo_i])
+        lo_all = np.concatenate(lo_parts)                   # (Qs, G)
+        li_all = np.concatenate(li_parts)                   # (Qs, G, C)
+
+        gxc = lo_all.shape[1] * li_all.shape[2]
+        budget = min(probe_budget, gxc)
+        containment = []
+        for w in grid:
+            joint = (w * lo_all[:, :, None] + li_all).reshape(
+                n_queries, gxc)
+            top = np.argpartition(-joint, budget - 1, axis=1)[:, :budget]
+            containment.append(float(np.mean(
+                (top == target_bucket[:, None]).any(axis=1))))
+        best_i = int(np.argmax(containment))
+        baseline = (containment[grid.index(1.0)] if 1.0 in grid
+                    else None)
+        result = {
+            "weights": list(grid),
+            "containment": containment,
+            "best": float(grid[best_i]),
+            "best_containment": containment[best_i],
+            "baseline_w1": baseline,
+            "probe_budget": budget,
+        }
+        log.info("router calibration @%d probes: %s -> w=%.2f "
+                 "(containment %.4f, w=1 %.4f)", budget,
+                 ["%.2f:%.4f" % (w, c) for w, c in zip(grid, containment)],
+                 result["best"], result["best_containment"],
+                 -1.0 if baseline is None else baseline)
+        if apply:
+            self.set_outer_weight(result["best"])
+        return result
 
     # ----------------------------------------------------------------- search
     def search(
@@ -356,12 +502,12 @@ class HierarchicalIndex(LearnedIndex):
         )
 
     # ------------------------------------------------------------ checkpoint
-    def save(self, path: str) -> None:
+    def save(self, path: str, include_corpus: bool = False) -> None:
         """Checkpoint (inherits the flat layout; adds hierarchy metadata)."""
         import json
         from pathlib import Path
 
-        super().save(path)
+        super().save(path, include_corpus=include_corpus)
         hcfg = self.hconfig
         with open(Path(path).absolute() / "hier.json", "w") as f:
             json.dump({
@@ -370,6 +516,8 @@ class HierarchicalIndex(LearnedIndex):
                 "outer_lr": hcfg.outer_lr,
                 "outer_model_type": hcfg.outer_model_type,
                 "seed": hcfg.seed,
+                "outer_weight": float(getattr(
+                    self.built.classifier.model, "outer_weight", 1.0)),
             }, f)
 
     @classmethod
@@ -383,6 +531,7 @@ class HierarchicalIndex(LearnedIndex):
         meta, state = LearnedIndex._load_state(path)
         with open(path / "hier.json") as f:
             h = json.load(f)
+        outer_weight = float(h.pop("outer_weight", 1.0))
         inner_cfg = IndexConfig(**meta["config"])
         cfg = HierarchicalConfig(inner=inner_cfg, **h)
         index = cls(cfg)
@@ -393,6 +542,7 @@ class HierarchicalIndex(LearnedIndex):
             G, C, meta["input_dim"],
             model_type=meta["model_type"],
         )
+        classifier.model.outer_weight = outer_weight
         classifier.params = jax.device_put(state["params"])
         store = BucketStore(
             data_sorted=jnp.asarray(state["store"]["data_sorted"]),
@@ -404,6 +554,10 @@ class HierarchicalIndex(LearnedIndex):
             row_align=int(meta.get("store_row_align", 1)),
             scales=(jnp.asarray(state["store"]["scales"])
                     if "scales" in state.get("store", {}) else None),
+            **{f: jnp.asarray(state["store"][f])
+               for f in ("bucket_centroids", "bucket_cos_r",
+                         "bucket_max_norm")
+               if f in state.get("store", {})},
         )
         index.built = BuiltIndex(
             centroids=jnp.asarray(state["centroids"]),
@@ -413,4 +567,5 @@ class HierarchicalIndex(LearnedIndex):
             config=inner_cfg,
             max_bucket=int(jax.device_get(store.counts.max())),
         )
+        LearnedIndex._restore_rerank(index, meta, path)
         return index

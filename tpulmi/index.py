@@ -62,6 +62,8 @@ class LearnedIndex:
         # 0-based id) + normalized flag; enables the exact rerank on
         # quantized stores
         self._host_corpus = None
+        # rerank contract restored from a checkpoint (fingerprint etc.)
+        self._rerank_meta = None
         # multi-chip mode: (ShardedBucketStore, Mesh) after .shard()
         self._sharded = None
         self._sharded_programs = {}
@@ -259,12 +261,21 @@ class LearnedIndex:
         normalized: bool = False,
         store_dtype: str = "bfloat16",
         overlap_upload: bool = False,
+        mesh=None,
     ) -> Tuple[np.ndarray, float]:
         """Large-scale build: navigation stages (k-means, MLP, predict) run
         on device, but the search-space store is laid out on the HOST and
         uploaded once — for corpora whose store plus source copy exceed HBM
         (e.g. 10M x 768: a 15.4 GB bf16 store on a 16 GB v5e leaves no room
         for the device-side sort's second copy).
+
+        ``mesh`` (a 1-D device mesh) builds the store **sharded**: the host
+        layout is uploaded per-shard straight to each device
+        (`tpulmi.parallel.sharded.shard_store_from_host`), so the flat
+        store is never resident on any single device — the only viable
+        path for corpora whose store exceeds one chip's HBM (100M int8 ≈
+        77 GB on 16 GB/chip v5e-8, BASELINE.md). Subsequent `search` calls
+        transparently run the one-program multi-chip path.
 
         `data_search_host` stays a host array (float16/32/bf16). The store
         is written in bucket-sorted, `row_align`-aligned order directly into
@@ -332,55 +343,115 @@ class LearnedIndex:
 
         # ---- host-side bucket-sorted aligned layout (native kernel when
         # the toolchain allows, NumPy otherwise — tpulmi/hoststore.py) ----
-        from tpulmi.hoststore import ensure_in_ram, layout_and_upload
-
-        data_search_host = ensure_in_ram(data_search_host)
-        arrays, data_sorted_dev = layout_and_upload(
-            pred, data_search_host, n_categories,
-            row_align=cfg.row_align, store_dtype=store_dtype,
-            normalized=normalized, overlap=overlap_upload,
-        )
-        quantized = arrays.scales is not None
-        ids_host = arrays.ids_sorted
-        offsets, counts = arrays.offsets, arrays.counts
-        scales_host, pad_rows, align = (
-            arrays.scales, arrays.pad_rows, arrays.row_align
+        store, arrays, data_search_host = self._host_store_to_built(
+            pred, data_search_host, n_categories, store_dtype=store_dtype,
+            normalized=normalized, overlap_upload=overlap_upload, mesh=mesh,
         )
         t_layout = time.perf_counter() - start - t_nav
-        log.info("host-store build: layout%s %.1fs",
-                 "+upload (overlapped)" if overlap_upload else "", t_layout)
-
-        # NOTE: this upload is bounded by the environment's host<->device
-        # relay (~20-30 MB/s measured for every dtype) — ~13 min for a 10M
-        # bf16 store. On directly-attached TPU hosts device_put runs at
-        # PCIe/link speed and this is seconds.
-        store = BucketStore(
-            data_sorted=data_sorted_dev,
-            ids_sorted=jax.device_put(ids_host),
-            offsets=jax.device_put(jnp.asarray(offsets)),
-            counts=jax.device_put(jnp.asarray(counts)),
-            n=n,
-            pad_rows=pad_rows,
-            row_align=align,
-            scales=(jax.device_put(scales_host) if quantized else None),
-        )
-        jax.device_get(store.data_sorted[-1, :1])
+        log.info("host-store build: layout+upload %.1fs", t_layout)
         # restore the router to the device (parked on host above)
         classifier.params = jax.device_put(classifier.params)
         build_time = time.perf_counter() - start
-        log.info("host-store build: total %.1fs (upload %.1fs)",
-                 build_time, build_time - t_nav - t_layout)
+        log.info("host-store build: total %.1fs", build_time)
         self.built = BuiltIndex(
             centroids=centroids,
             classifier=classifier,
             store=store,
             pred_categories=jnp.asarray(pred),
             config=cfg,
-            max_bucket=int(counts.max()) if counts.size else 0,
+            max_bucket=int(arrays.counts.max()) if arrays.counts.size else 0,
         )
         # keep the host corpus for the exact rerank of quantized results
         self._host_corpus = (data_search_host, normalized)
         return pred, build_time
+
+    def _host_store_to_built(self, pred, data_search_host, n_categories, *,
+                             store_dtype, normalized, overlap_upload, mesh):
+        """Land the host-laid-out store on device(s).
+
+        Single-chip (``mesh=None``): `layout_and_upload` (optionally
+        slab-pipelined with the layout) produces one device-resident flat
+        store. NOTE: the upload is bounded by this environment's
+        host<->device relay (~20-30 MB/s measured) — ~13 min for a 10M
+        bf16 store; on directly-attached TPU hosts it runs at link speed.
+
+        Multi-chip (``mesh``): the layout is uploaded shard-by-shard
+        straight to each device (`shard_store_from_host`) and the sharded
+        search path is armed; ``built.store`` then holds the HOST layout
+        arrays — metadata + checkpoint source only, NEVER a one-device
+        copy (the whole point: a >HBM store has no single-device home).
+
+        Returns (store, arrays, data_search_host)."""
+        from tpulmi.hoststore import (
+            ensure_in_ram,
+            layout_and_upload,
+            layout_host_store,
+        )
+
+        cfg = self.config
+        data_search_host = ensure_in_ram(data_search_host)
+        if mesh is not None:
+            from tpulmi.parallel.sharded import shard_store_from_host
+
+            arrays = layout_host_store(
+                pred, data_search_host, n_categories,
+                row_align=cfg.row_align, store_dtype=store_dtype,
+                normalized=normalized,
+            )
+            sstore = shard_store_from_host(arrays, mesh)
+            store = BucketStore(
+                data_sorted=arrays.data_sorted,   # host-resident (see doc)
+                ids_sorted=arrays.ids_sorted,
+                offsets=arrays.offsets,
+                counts=arrays.counts,
+                n=arrays.n,
+                pad_rows=arrays.pad_rows,
+                row_align=arrays.row_align,
+                scales=arrays.scales,
+            )
+            self._sharded = (sstore, mesh)
+            self._sharded_programs = {}
+            return store, arrays, data_search_host
+
+        arrays, data_sorted_dev = layout_and_upload(
+            pred, data_search_host, n_categories,
+            row_align=cfg.row_align, store_dtype=store_dtype,
+            normalized=normalized, overlap=overlap_upload,
+        )
+        store = BucketStore(
+            data_sorted=data_sorted_dev,
+            ids_sorted=jax.device_put(arrays.ids_sorted),
+            offsets=jax.device_put(jnp.asarray(arrays.offsets)),
+            counts=jax.device_put(jnp.asarray(arrays.counts)),
+            n=arrays.n,
+            pad_rows=arrays.pad_rows,
+            row_align=arrays.row_align,
+            scales=(jax.device_put(arrays.scales)
+                    if arrays.scales is not None else None),
+        )
+        jax.device_get(store.data_sorted[-1, :1])
+        return store, arrays, data_search_host
+
+    def compute_bounds(self, chunk: int = 65536) -> None:
+        """Precompute per-bucket pruning bounds (unit centroid, cap radius,
+        max row norm — `tpulmi.buckets.compute_bucket_bounds`) enabling the
+        threshold tile-skip (`SearchConfig.prune_after`): probe ranks past
+        the first skip every (query-chunk × bucket) scan provably beyond
+        the running kth-best. One streaming pass over the store (two reads
+        of HBM); call once after build/quantize/load. The TPU-native analog
+        of the reference's running-threshold prune
+        (`search/li/LearnedIndex.py:149-163`) — saving real scan work, not
+        just masking."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        from dataclasses import replace as dc_replace
+
+        from tpulmi.buckets import compute_bucket_bounds
+
+        store = compute_bucket_bounds(self.built.store, chunk=chunk)
+        jax.device_get(store.bucket_cos_r[-1])  # true sync (remote backend)
+        self.built = dc_replace(self.built, store=store)
+        self._search_programs = {}
 
     def quantize(self, host_corpus=None, normalized: bool = False) -> None:
         """Convert the built store to int8 codes + per-row scales in place
@@ -578,7 +649,7 @@ class LearnedIndex:
             # the sharded program) — same rounding as the flat path
             qpb_pad = -(-qpb_pad // min(512, qpb_pad)) * min(512, qpb_pad)
             prog_key = (n_buckets, k_eff, qpb_pad, data_chunk, max_chunks,
-                        scfg.compute_dtype)
+                        scfg.compute_dtype, scfg.probe_mass)
             program = self._sharded_programs.get(prog_key)
             if program is None:
                 program = make_sharded_search_program(
@@ -590,6 +661,7 @@ class LearnedIndex:
                     quantized=sstore.scales is not None,
                     compute_dtype=(jnp.dtype(scfg.compute_dtype)
                                    if scfg.compute_dtype else None),
+                    probe_mass=scfg.probe_mass,
                 )
                 self._sharded_programs[prog_key] = program
             args = [built.classifier.params, queries_nav, queries_search,
@@ -637,11 +709,19 @@ class LearnedIndex:
         # working set and reuses one compiled program per batch shape)
         bq = scfg.batch_queries
         if bq and queries_nav.shape[0] > bq:
-            parts = [
-                self.search(queries_nav[lo:lo + bq], queries_search[lo:lo + bq],
-                            n_buckets=n_buckets, k=k, search_config=scfg)
-                for lo in range(0, queries_nav.shape[0], bq)
-            ]
+            parts = []
+            scan_tot = nom_tot = 0
+            any_stats = False
+            for lo in range(0, queries_nav.shape[0], bq):
+                parts.append(self.search(
+                    queries_nav[lo:lo + bq], queries_search[lo:lo + bq],
+                    n_buckets=n_buckets, k=k, search_config=scfg))
+                if getattr(self, "last_scan_rows", None) is not None:
+                    any_stats = True
+                    scan_tot += self.last_scan_rows
+                    nom_tot += self.last_nominal_rows
+            self.last_scan_rows = scan_tot if any_stats else None
+            self.last_nominal_rows = nom_tot if any_stats else None
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
 
@@ -693,12 +773,29 @@ class LearnedIndex:
                            max(4 * n_slots // built.store.n_categories, 128))),
         )
 
+        # threshold pruning: only meaningful past the first probe ranks, on
+        # the XLA pipeline, with bounds precomputed (compute_bounds())
+        pruning = (scfg.prune_after > 0 and backend == "xla"
+                   and built.store.has_bounds
+                   and n_buckets > scfg.prune_after)
+        truncating = scfg.probe_mass is not None and backend == "xla"
+        want_stats = pruning or truncating
+        if scfg.prune_eps is not None:
+            prune_eps = float(scfg.prune_eps)
+        elif scfg.compute_dtype == "bfloat16":
+            prune_eps = 5e-3   # bf16 matmul inputs round sims by ~2e-3
+        else:
+            prune_eps = 1e-4
+        self.last_scan_rows = self.last_nominal_rows = None
+
         pallas_max_chunks = max(-(-built.max_bucket // scfg.pallas_mc), 1)
         while True:
             query_chunk = min(scfg.query_chunk, qpb_pad)
             qpb_pad = -(-qpb_pad // query_chunk) * query_chunk
             prog_key = (backend, n_buckets, k_eff, qpb_pad, data_chunk,
-                        max_chunks, query_chunk, scfg.compute_dtype)
+                        max_chunks, query_chunk, scfg.compute_dtype,
+                        (scfg.prune_after, prune_eps) if pruning else None,
+                        scfg.probe_mass if truncating else None)
             program = self._search_programs.get(prog_key)
             if program is None:
                 program = make_search_program(
@@ -714,12 +811,20 @@ class LearnedIndex:
                     pallas_qc=scfg.pallas_qc,
                     pallas_mc=scfg.pallas_mc,
                     pallas_max_chunks=pallas_max_chunks,
+                    prune_after=scfg.prune_after if pruning else 0,
+                    prune_eps=prune_eps,
+                    probe_mass=scfg.probe_mass if truncating else None,
                 )
                 self._search_programs[prog_key] = program
-            dists, ids, max_slots = program(
+            out = program(
                 built.classifier.params, queries_nav, queries_search, built.store
             )
-            dists, ids, max_slots = jax.device_get((dists, ids, max_slots))
+            if want_stats:
+                dists, ids, max_slots, scanned, nominal = jax.device_get(out)
+                self.last_scan_rows = int(scanned)
+                self.last_nominal_rows = int(nominal)
+            else:
+                dists, ids, max_slots = jax.device_get(out)
             if backend == "pallas" or int(max_slots) <= qpb_pad:
                 # the pallas worklist is per-bucket block-padded internally —
                 # qpb_pad overflow cannot occur there
@@ -764,10 +869,45 @@ class LearnedIndex:
         )
 
     # ------------------------------------------------------------ checkpoint
-    def save(self, path: str) -> None:
+    @staticmethod
+    def _corpus_fingerprint(corpus) -> dict:
+        """Cheap identity for a host rerank corpus: shape + a hash of three
+        sampled rows. Enough to catch attaching the wrong corpus without
+        reading all of it."""
+        import hashlib
+
+        n, d = int(corpus.shape[0]), int(corpus.shape[1])
+        h = hashlib.sha1()
+        for i in (0, n // 2, n - 1):
+            h.update(np.ascontiguousarray(
+                np.asarray(corpus[i], np.float32)).tobytes())
+        return {"n": n, "d": d, "rows_sha1": h.hexdigest()}
+
+    def attach_host_corpus(self, corpus, normalized: bool = False) -> None:
+        """Attach (or re-attach) the host-resident full-precision corpus
+        used for the exact rerank of quantized search results. Validated
+        against the checkpoint's fingerprint when one was restored."""
+        meta = getattr(self, "_rerank_meta", None)
+        if meta is not None:
+            fp = self._corpus_fingerprint(corpus)
+            if fp != meta.get("fingerprint", fp):
+                raise ValueError(
+                    "host corpus does not match the checkpointed rerank "
+                    f"fingerprint: got {fp}, expected {meta['fingerprint']}"
+                )
+            normalized = bool(meta.get("normalized", normalized))
+        self._host_corpus = (corpus, normalized)
+
+    def save(self, path: str, include_corpus: bool = False) -> None:
         """Checkpoint the built index (centroids, classifier params, bucket
         store) with orbax. Unlike the reference's pickle-only save
-        (`search/li/utils.py:46-60`), this round-trips via `load`."""
+        (`search/li/utils.py:46-60`), this round-trips via `load`.
+
+        Quantized indexes carry a host rerank corpus; its *contract*
+        (fingerprint + source path when the corpus is a memmap) is always
+        recorded so `load` can reattach it or warn. `include_corpus=True`
+        additionally copies the corpus into the checkpoint (corpus.npy) for
+        a fully self-contained restore."""
         if self.built is None:
             raise ValueError("Nothing to save, call `build` first.")
         import orbax.checkpoint as ocp
@@ -785,6 +925,10 @@ class LearnedIndex:
                 "counts": built.store.counts,
                 **({"scales": built.store.scales}
                    if built.store.scales is not None else {}),
+                **({"bucket_centroids": built.store.bucket_centroids,
+                    "bucket_cos_r": built.store.bucket_cos_r,
+                    "bucket_max_norm": built.store.bucket_max_norm}
+                   if built.store.has_bounds else {}),
             },
         }
         meta = {
@@ -795,11 +939,21 @@ class LearnedIndex:
             "store_n": built.store.n,
             "store_pad_rows": built.store.pad_rows,
             "store_row_align": built.store.row_align,
-            "version": 1,
+            "version": 2,
         }
+        if self._host_corpus is not None:
+            corpus, normalized = self._host_corpus
+            src = getattr(corpus, "filename", None)
+            meta["rerank"] = {
+                "normalized": bool(normalized),
+                "fingerprint": self._corpus_fingerprint(corpus),
+                "corpus_path": str(src) if src else None,
+            }
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(path / "state", state, force=True)
         ckpt.wait_until_finished()
+        if include_corpus and self._host_corpus is not None:
+            np.save(path / "corpus.npy", np.asarray(self._host_corpus[0]))
         with open(path / "meta.json", "w") as f:
             json.dump(meta, f)
 
@@ -832,6 +986,37 @@ class LearnedIndex:
             state = ckpt.restore(path / "state", target)
         return meta, state
 
+    @staticmethod
+    def _restore_rerank(index: "LearnedIndex", meta: dict, path: Path) -> None:
+        """Reattach the host rerank corpus of a quantized checkpoint, or
+        warn LOUDLY that restored searches will be quantized-only. Tries,
+        in order: corpus.npy inside the checkpoint (written by
+        ``save(include_corpus=True)``), then the recorded source path of a
+        memmap corpus. Fingerprint-validated either way."""
+        rer = meta.get("rerank")
+        if not rer:
+            return
+        index._rerank_meta = rer
+        candidates = [path / "corpus.npy"]
+        if rer.get("corpus_path"):
+            candidates.append(Path(rer["corpus_path"]))
+        for cand in candidates:
+            if not cand.exists():
+                continue
+            try:
+                corpus = np.load(cand, mmap_mode="r")
+                index.attach_host_corpus(corpus)
+                log.info("rerank corpus reattached from %s", cand)
+                return
+            except (ValueError, OSError) as e:
+                log.warning("rerank corpus at %s rejected: %s", cand, e)
+        log.warning(
+            "QUANTIZED index restored WITHOUT its rerank corpus: searches "
+            "will run on int8 codes only (recall drops ~1e-3 distance "
+            "error). Call attach_host_corpus(corpus) to restore the exact "
+            "rerank (expected corpus: %s).", rer.get("fingerprint"),
+        )
+
     @classmethod
     def load(cls, path: str) -> "LearnedIndex":
         """Restore a saved index — the resume path the reference lacks."""
@@ -860,6 +1045,10 @@ class LearnedIndex:
             row_align=int(meta.get("store_row_align", 1)),
             scales=(jnp.asarray(state["store"]["scales"])
                     if "scales" in state.get("store", {}) else None),
+            **{f: jnp.asarray(state["store"][f])
+               for f in ("bucket_centroids", "bucket_cos_r",
+                         "bucket_max_norm")
+               if f in state.get("store", {})},
         )
         index.built = BuiltIndex(
             centroids=jnp.asarray(state["centroids"]),
@@ -869,4 +1058,5 @@ class LearnedIndex:
             config=cfg,
             max_bucket=int(jax.device_get(store.counts.max())),
         )
+        cls._restore_rerank(index, meta, path)
         return index

@@ -125,6 +125,112 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
     )
 
 
+def _alloc_on_device(shape, dtype, device):
+    """Allocate a zero buffer directly ON `device` — no host staging of a
+    near-HBM array (jnp.zeros + device_put would build it host-side first)."""
+    from jax.sharding import SingleDeviceSharding
+
+    return jax.jit(
+        lambda: jnp.zeros(shape, dtype),
+        out_shardings=SingleDeviceSharding(device),
+    )()
+
+
+def shard_store_from_host(arrays, mesh: Mesh,
+                          slab_rows: int = 262_144) -> ShardedBucketStore:
+    """Build a bucket-sharded store straight from HOST layout arrays
+    (`tpulmi.hoststore.HostStoreArrays`), uploading each shard's rows
+    slab-by-slab to its own device. The flat store is **never resident on
+    any single device** — the requirement for corpora whose store exceeds
+    one chip's HBM (the 100M/v5e-8 configuration, BASELINE.md;
+    SURVEY.md §7 stage 9). Contrast `shard_store`, which starts from a
+    one-device store and round-trips all of it through the host.
+
+    Shard s owns the contiguous global bucket range
+    [s*cat_pad, (s+1)*cat_pad); its rows are the host arrays'
+    [offsets[lo], offsets[hi]) range — a zero-copy view, so host RAM holds
+    only the flat layout plus one slab in flight. Each per-device buffer is
+    written with the donated `dynamic_update_slice` loop of
+    `tpulmi.hoststore` (bounded host staging, true barrier per slab), then
+    the global (S, rows_pad, d) array is assembled with
+    `jax.make_array_from_single_device_arrays` over the mesh axis.
+    """
+    axis = mesh.axis_names[0]
+    devices = list(mesh.devices.flat)
+    n_shards = len(devices)
+    offsets = np.asarray(arrays.offsets)
+    counts = np.asarray(arrays.counts)
+    n_cat = int(counts.shape[0])
+    cat_pad = -(-n_cat // n_shards)
+    d = int(arrays.data_sorted.shape[1])
+    pad_rows = int(arrays.pad_rows)
+
+    bounds = []
+    for s in range(n_shards):
+        lo = min(s * cat_pad, n_cat)
+        hi = min((s + 1) * cat_pad, n_cat)
+        bounds.append((lo, hi, int(offsets[lo]), int(offsets[hi])))
+    rows = max(max(b[3] - b[2] for b in bounds), 1)
+    rows_pad = rows + pad_rows
+    sharding = NamedSharding(mesh, P(axis))
+    dtype = jnp.asarray(arrays.data_sorted[:1]).dtype
+
+    put = jax.jit(
+        lambda b, sl, lo: jax.lax.dynamic_update_slice(
+            b, sl, (jnp.int32(0), lo, jnp.int32(0))),
+        donate_argnums=0,
+    )
+    local_bufs = []
+    for s, dev in enumerate(devices):
+        _, _, row_lo, row_hi = bounds[s]
+        buf = _alloc_on_device((1, rows_pad, d), dtype, dev)
+        for lo_r in range(row_lo, row_hi, slab_rows):
+            hi_r = min(lo_r + slab_rows, row_hi)
+            slab = jax.device_put(arrays.data_sorted[lo_r:hi_r][None], dev)
+            buf = put(buf, slab, jnp.int32(lo_r - row_lo))
+            del slab
+            # true barrier per slab: unsynchronized streams pile host
+            # copies and can wedge remote transfer backends (NOTES.md 7/8)
+            jax.device_get(buf[0, -1, :1])
+        local_bufs.append(buf)
+    data_global = jax.make_array_from_single_device_arrays(
+        (n_shards, rows_pad, d), sharding, local_bufs)
+
+    # small per-shard metadata: stacked on host, sharded by device_put
+    ids_shards = np.full((n_shards, rows_pad), -1, dtype=np.int32)
+    off_shards = np.zeros((n_shards, cat_pad + 1), dtype=np.int32)
+    cnt_shards = np.zeros((n_shards, cat_pad), dtype=np.int32)
+    starts = np.zeros((n_shards, 1), dtype=np.int32)
+    quantized = arrays.scales is not None
+    scales_shards = (np.zeros((n_shards, rows_pad), np.float32)
+                     if quantized else None)
+    for s, (lo, hi, row_lo, row_hi) in enumerate(bounds):
+        nrows = row_hi - row_lo
+        ids_shards[s, :nrows] = arrays.ids_sorted[row_lo:row_hi]
+        if quantized:
+            scales_shards[s, :nrows] = arrays.scales[row_lo:row_hi]
+        cnt_shards[s, : hi - lo] = counts[lo:hi]
+        # rebased (alignment-preserving) offsets, exactly like shard_store
+        off_shards[s, : hi - lo + 1] = offsets[lo: hi + 1] - offsets[lo]
+        off_shards[s, hi - lo + 1:] = off_shards[s, hi - lo]
+        starts[s, 0] = lo
+
+    return ShardedBucketStore(
+        data_sorted=data_global,
+        ids_sorted=jax.device_put(ids_shards, sharding),
+        offsets=jax.device_put(off_shards, sharding),
+        counts=jax.device_put(cnt_shards, sharding),
+        bucket_start=jax.device_put(starts, sharding),
+        n_shards=n_shards,
+        cat_pad=cat_pad,
+        rows=rows,
+        pad_rows=pad_rows,
+        row_align=arrays.row_align,
+        scales=(jax.device_put(scales_shards, sharding)
+                if quantized else None),
+    )
+
+
 # Compiled sharded-search programs keyed on (mesh, static padding classes).
 # A fresh shard_map + jit closure per call would recompile every call
 # (identical HLO, new Python identity); this cache is the multi-chip
@@ -261,13 +367,17 @@ def make_sharded_search_program(
     pad_rows: int,
     quantized: bool = False,
     compute_dtype=None,
+    probe_mass=None,
 ):
     """ONE jitted multi-chip search program: replicated MLP routing +
     bucket-sharded probe search + all-gather top-k merge. The multi-chip
     counterpart of tpulmi.search.make_search_program — same contract
     (returns (dists, ids, max_slots) so the caller can validate its static
     qpb_pad without an extra round trip). With `quantized` the per-shard
-    int8 codes + scales are searched natively."""
+    int8 codes + scales are searched natively. ``probe_mass`` truncates
+    each query's probes at the routed-mass crossing; dump ids equal the
+    global bucket count, which falls outside every shard's local range and
+    is dropped by the same remap that drops non-local probes."""
     from tpulmi.ops.distance import l2_normalize
 
     axis = mesh.axis_names[0]
@@ -275,7 +385,14 @@ def make_sharded_search_program(
     def local_search(params, queries_nav, queries_search,
                      data_s, ids_s, offs, cnts, start, *scales_s):
         logits = model.apply({"params": params}, queries_nav)
-        _, probes = jax.lax.top_k(logits, n_buckets)
+        if probe_mass is not None:
+            probs = jax.nn.softmax(logits, axis=-1)
+            p_top, probes = jax.lax.top_k(probs, n_buckets)
+            cum = jnp.cumsum(p_top, axis=1)
+            probes = jnp.where((cum - p_top) < probe_mass, probes,
+                               logits.shape[1])
+        else:
+            _, probes = jax.lax.top_k(logits, n_buckets)
         probes = probes.astype(jnp.int32)
         qs = l2_normalize(queries_search.astype(jnp.float32))
         local = probes - start[0, 0]

@@ -50,15 +50,12 @@ def size_class(x: int, minimum: int = 128) -> int:
     return c
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "qpb_pad", "data_chunk", "max_chunks",
-                     "query_chunk", "compute_dtype"),
-)
-def _probe_search_impl(
+def _probe_search_core(
     probe_buckets: jnp.ndarray,   # (Q, P) int32 bucket id per probe rank
     queries_search: jnp.ndarray,  # (Q, d) normalized search-space queries
     store: BucketStore,
+    thresholds,                   # (Q,) f32 running kth-best per query, or
+    #                               None → no pruning (scan everything)
     *,
     k: int,
     qpb_pad: int,       # static pad for max slots per bucket
@@ -66,7 +63,22 @@ def _probe_search_impl(
     max_chunks: int,    # static ceil(max_bucket_size / data_chunk)
     query_chunk: int = 512,
     compute_dtype=None,  # e.g. jnp.bfloat16; accumulation is always f32
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    prune_eps: float = 0.0,
+):
+    """Shared probe pipeline. With `thresholds` (and bucket bounds on the
+    store) a whole (query-chunk × bucket) scan is skipped by `lax.cond`
+    when the spherical-cap lower bound proves EVERY slot's candidates lie
+    beyond that slot's running kth-best — the TPU-native analog of the
+    reference's threshold prune (`search/li/utils.py:14-43`), saving real
+    FLOPs/bandwidth with static shapes (no dynamic compaction). `prune_eps`
+    is subtracted from the bound to absorb compute-dtype rounding, so
+    pruned results are bit-identical to the unpruned pipeline.
+
+    Returns (dists, ids, max_slots, scanned_rows) where scanned_rows
+    counts store rows actually streamed (chunk-granular)."""
+    prune = thresholds is not None
+    if prune and not store.has_bounds:
+        raise ValueError("threshold pruning needs compute_bucket_bounds")
     q, p = probe_buckets.shape
     n_slots = q * p
     n_cat = store.n_categories
@@ -100,11 +112,19 @@ def _probe_search_impl(
     # padding points at a dump slot (= n_slots).
     order_pad = jnp.pad(order, (0, qpb_pad), constant_values=n_slots)
 
+    if prune:
+        bounds_c = store.bucket_centroids.astype(jnp.float32)
+        bounds_cr = store.bucket_cos_r.astype(jnp.float32)
+        bounds_mn = store.bucket_max_norm.astype(jnp.float32)
+        thresholds = thresholds.astype(jnp.float32)
+
     def per_bucket(c):
         qstart = slot_offsets[c]
         qcnt = slot_counts[c]
         dstart = store.offsets[c]
         dcnt = store.counts[c]
+        # chunk-granular rows this bucket streams if scanned
+        rows_if_scanned = ((dcnt + mc - 1) // mc) * mc
 
         def per_query_chunk(_, qj):
             # slots [qstart + qj*qc, +qc) of this bucket, masked past qcnt
@@ -119,11 +139,12 @@ def _probe_search_impl(
                 jnp.full((qc, k), -1, jnp.int32),
             )
 
-            def inactive(_):
-                return init, slot_idx
+            def inactive(qvecs):
+                return init
 
-            def active(_):
-                qvecs = jnp.take(queries, q_idx, axis=0)  # (qc, d)
+            def active(qvecs):
+                if qvecs is None:
+                    qvecs = jnp.take(queries, q_idx, axis=0)  # (qc, d)
 
                 def chunk_step(carry, j):
                     def compute(carry):
@@ -178,22 +199,48 @@ def _probe_search_impl(
                 (best_d, best_i), _ = jax.lax.scan(
                     chunk_step, init, jnp.arange(max_chunks)
                 )
-                return (best_d, best_i), slot_idx
+                return (best_d, best_i)
 
-            # skip the whole query chunk when no slots fall in it
-            return None, jax.lax.cond(qj * qc < qcnt, active, inactive, None)
+            occupied = qj * qc < qcnt
+            if prune:
+                # spherical-cap lower bound per slot: skip this whole
+                # (query-chunk × bucket) scan when no slot's bound can
+                # beat its running kth-best
+                qvecs = jnp.take(queries, q_idx, axis=0)
+                cq = jnp.clip(
+                    qvecs.astype(jnp.float32) @ bounds_c[c], -1.0, 1.0)
+                cr = bounds_cr[c]
+                cos_delta = jnp.where(
+                    cq >= cr, 1.0,
+                    cq * cr + jnp.sqrt(jnp.maximum(1.0 - cq * cq, 0.0))
+                    * jnp.sqrt(jnp.maximum(1.0 - cr * cr, 0.0)),
+                )
+                bound = 1.0 - bounds_mn[c] * jnp.maximum(cos_delta, 0.0)
+                thr = jnp.take(thresholds, q_idx)
+                needed = valid_q & ((bound - prune_eps) <= thr)
+                run = jnp.logical_and(occupied, jnp.any(needed))
+                out = jax.lax.cond(run, active, inactive, qvecs)
+            else:
+                run = occupied
+                out = jax.lax.cond(run, active, inactive, None)
+            rows_scanned = jnp.where(run, rows_if_scanned, 0)
+            rows_nominal = jnp.where(occupied, rows_if_scanned, 0)
+            return None, (out, slot_idx, rows_scanned, rows_nominal)
 
-        _, ((best_d, best_i), slot_idx) = jax.lax.scan(
-            per_query_chunk, None, jnp.arange(n_qchunks)
+        _, ((best_d, best_i), slot_idx, rows_scanned, rows_nominal) = (
+            jax.lax.scan(per_query_chunk, None, jnp.arange(n_qchunks))
         )
         # (n_qchunks, qc, ...) -> (qpb_pad, ...)
         return (
             best_d.reshape(qpb_pad, k),
             best_i.reshape(qpb_pad, k),
             slot_idx.reshape(qpb_pad),
+            rows_scanned.sum(),
+            rows_nominal.sum(),
         )
 
-    bucket_d, bucket_i, bucket_slots = jax.lax.map(per_bucket, jnp.arange(n_cat))
+    bucket_d, bucket_i, bucket_slots, bucket_rows, bucket_nominal = (
+        jax.lax.map(per_bucket, jnp.arange(n_cat)))
     # bucket_d/i: (n_cat, qpb_pad, k); bucket_slots: (n_cat, qpb_pad)
 
     # --- scatter per-slot results back to (query, rank) ----------------------
@@ -212,7 +259,64 @@ def _probe_search_impl(
     final_i = jnp.take_along_axis(slot_i, arg_top, axis=1)
     # max slots routed to any bucket this batch — lets callers validate a
     # reused qpb_pad without an extra round trip (overflow → re-pad & rerun)
-    return final_d, final_i, slot_counts.max()
+    return (final_d, final_i, slot_counts.max(), bucket_rows.sum(),
+            bucket_nominal.sum())
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "qpb_pad", "data_chunk", "max_chunks",
+                     "query_chunk", "compute_dtype"),
+)
+def _probe_search_impl(
+    probe_buckets: jnp.ndarray,
+    queries_search: jnp.ndarray,
+    store: BucketStore,
+    *,
+    k: int,
+    qpb_pad: int,
+    data_chunk: int,
+    max_chunks: int,
+    query_chunk: int = 512,
+    compute_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Unpruned probe pipeline (scan every routed bucket); see
+    `_probe_search_core`. Returns (dists, ids, max_slots)."""
+    d, i, mx, _, _ = _probe_search_core(
+        probe_buckets, queries_search, store, None,
+        k=k, qpb_pad=qpb_pad, data_chunk=data_chunk, max_chunks=max_chunks,
+        query_chunk=query_chunk, compute_dtype=compute_dtype,
+    )
+    return d, i, mx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "qpb_pad", "data_chunk", "max_chunks",
+                     "query_chunk", "compute_dtype", "prune_eps"),
+)
+def _probe_search_pruned(
+    probe_buckets: jnp.ndarray,
+    queries_search: jnp.ndarray,
+    store: BucketStore,
+    thresholds: jnp.ndarray,
+    *,
+    k: int,
+    qpb_pad: int,
+    data_chunk: int,
+    max_chunks: int,
+    query_chunk: int = 512,
+    compute_dtype=None,
+    prune_eps: float = 0.0,
+):
+    """Threshold-pruned probe pipeline; see `_probe_search_core`. Returns
+    (dists, ids, max_slots, scanned_rows, nominal_rows)."""
+    return _probe_search_core(
+        probe_buckets, queries_search, store, thresholds,
+        k=k, qpb_pad=qpb_pad, data_chunk=data_chunk, max_chunks=max_chunks,
+        query_chunk=query_chunk, compute_dtype=compute_dtype,
+        prune_eps=prune_eps,
+    )
 
 
 def make_search_program(
@@ -229,19 +333,48 @@ def make_search_program(
     pallas_qc: int = 256,
     pallas_mc: int = 512,
     pallas_max_chunks: int = 1,
+    prune_after: int = 0,
+    prune_eps: float = 0.0,
+    probe_mass=None,
 ):
     """One jitted end-to-end search program: MLP routing (top-k of logits —
     softmax is monotone so it is skipped, unlike the reference which
     materializes the full softmax ranking, `search/li/model.py:226-227`),
     query normalization, and the batched probe pipeline. A single dispatch
     per search call; returns (dists, ids, max_slots) where max_slots lets the
-    caller validate the static qpb_pad without an extra round trip."""
+    caller validate the static qpb_pad without an extra round trip.
+
+    ``prune_after=t0 > 0`` (XLA backend, store with bucket bounds) runs the
+    two-phase threshold prune: probe ranks [0, t0) scan normally, the
+    per-query kth-best distance becomes the running threshold, and ranks
+    [t0, P) skip every (query-chunk × bucket) scan the spherical-cap bound
+    proves fruitless — the reference's probe-0 threshold semantics
+    (`search/li/LearnedIndex.py:71-74,149-163`) with static shapes. The
+    program then returns (dists, ids, max_slots, scanned_rows, nominal)
+    with identical (dists, ids) to the unpruned pipeline.
+
+    ``probe_mass`` (XLA backend) truncates each query's probe list at the
+    routed-probability crossing (`SearchConfig.probe_mass`): dropped slots
+    point at an out-of-range dump bucket and never reach the scan. Either
+    feature makes the program return the 5-tuple with scan counters."""
     from tpulmi.ops.distance import l2_normalize
+
+    t0 = min(prune_after, n_buckets - 1) if prune_after > 0 else 0
+    pruning = backend == "xla" and t0 > 0
+    truncating = backend == "xla" and probe_mass is not None
 
     @jax.jit
     def search_program(params, queries_nav, queries_search, store):
         logits = model.apply({"params": params}, queries_nav)
-        _, probes = jax.lax.top_k(logits, n_buckets)
+        if truncating:
+            probs = jax.nn.softmax(logits, axis=-1)
+            p_top, probes = jax.lax.top_k(probs, n_buckets)
+            cum = jnp.cumsum(p_top, axis=1)
+            # keep every rank up to and including the mass crossing
+            keep = (cum - p_top) < probe_mass
+            probes = jnp.where(keep, probes, store.n_categories)
+        else:
+            _, probes = jax.lax.top_k(logits, n_buckets)
         probes = probes.astype(jnp.int32)
         qs = l2_normalize(queries_search.astype(jnp.float32))
         if backend == "pallas":
@@ -256,6 +389,36 @@ def make_search_program(
                 mc=pallas_mc,
                 max_chunks=pallas_max_chunks,
                 compute_dtype=compute_dtype or jnp.float32,
+            )
+        if pruning:
+            d1, i1, m1, rows1, nom1 = _probe_search_core(
+                probes[:, :t0], qs, store, None,
+                k=k, qpb_pad=qpb_pad, data_chunk=data_chunk,
+                max_chunks=max_chunks, query_chunk=query_chunk,
+                compute_dtype=compute_dtype,
+            )
+            tau = d1[:, k - 1]  # running kth-best after the first t0 ranks
+            d2, i2, m2, rows2, nom2 = _probe_search_core(
+                probes[:, t0:], qs, store, tau,
+                k=k, qpb_pad=qpb_pad, data_chunk=data_chunk,
+                max_chunks=max_chunks, query_chunk=query_chunk,
+                compute_dtype=compute_dtype, prune_eps=prune_eps,
+            )
+            # rank-major merge: phase-1 candidates precede phase-2, so
+            # distance ties resolve to the earlier probe rank exactly like
+            # the single-phase pipeline (and the reference's stable merge)
+            cat_d = jnp.concatenate([d1, d2], axis=1)
+            cat_i = jnp.concatenate([i1, i2], axis=1)
+            neg_top, arg_top = jax.lax.top_k(-cat_d, k)
+            return (-neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1),
+                    jnp.maximum(m1, m2), rows1 + rows2, nom1 + nom2)
+        if truncating:
+            # report scan counters so callers can measure the truncation
+            return _probe_search_core(
+                probes, qs, store, None,
+                k=k, qpb_pad=qpb_pad, data_chunk=data_chunk,
+                max_chunks=max_chunks, query_chunk=query_chunk,
+                compute_dtype=compute_dtype,
             )
         return _probe_search_impl(
             probes,

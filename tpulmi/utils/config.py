@@ -99,6 +99,31 @@ class SearchConfig:
     rerank: bool = True
     rerank_extra: int = 10
 
+    # Threshold pruning (XLA backend; needs `LearnedIndex.compute_bounds()`
+    # on the store first): probe ranks beyond `prune_after` skip every
+    # (query-chunk × bucket) scan whose spherical-cap lower bound exceeds
+    # the running kth-best from the first `prune_after` ranks — the
+    # reference's threshold prune (`search/li/utils.py:14-43`) without
+    # dynamic shapes, and it saves real scan work instead of only masking.
+    # 0 = off. Results are identical to the unpruned pipeline (`prune_eps`
+    # slack absorbs compute-dtype rounding; None = auto from the store and
+    # compute dtypes).
+    prune_after: int = 0
+    prune_eps: Optional[float] = None
+
+    # Per-query adaptive probe truncation (XLA backend): stop probing once
+    # the cumulative routed probability mass reaches this value, i.e.
+    # n_buckets becomes a per-query CAP instead of a fixed budget. Slots
+    # beyond the crossing are dropped before the scan, so easy queries
+    # (router mass concentrated) stop at 1-2 probes while hard ones use
+    # the full budget — real scan-work savings where worst-case geometric
+    # bounds cannot fire (in 768-d a perfect bound would prune 94%+ of
+    # deep-probe work, but high-dimensional concentration makes every cap
+    # bound vacuous; this probability knob is the typical-case answer, and
+    # the per-query-adaptive analog of the reference's fixed `-bp` budget).
+    # None = off; 1.0 = keep everything (identical results).
+    probe_mass: Optional[float] = None
+
     def to_dict(self) -> dict:
         return asdict(self)
 
