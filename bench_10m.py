@@ -80,10 +80,11 @@ def main():
         row_align=1024,
     )
     li = LearnedIndex(cfg)
-    # materialize the memory-mapped corpus in RAM: the store layout gathers
-    # rows in bucket-sorted (random) order, which on a disk mmap costs ~25
-    # minutes vs ~2 in RAM (the host has 125 GB)
-    data_search = np.asarray(ds["data_search"])
+    # the memory-mapped corpus is materialized in RAM by the build itself,
+    # on a background thread OVERLAPPED with the nav stages (the store
+    # layout gathers rows in bucket-sorted order, which on a disk mmap
+    # costs ~25 minutes vs ~2 in RAM; the host has 125 GB)
+    data_search = ds["data_search"]
     t_build = time.perf_counter()
     # int8 store + exact host rerank: half the relay-bound upload bytes of
     # bf16 (the build-time bottleneck in this environment) and half the HBM
@@ -114,6 +115,28 @@ def main():
     recall = float(np.mean([
         len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
     ]))
+
+    # ---- probe-phase work model vs the MEASURED chip ceilings
+    # (scripts/calib.py: ~82 bf16 TFLOPS / ~196 GB/s — NOTES.md) ----
+    MEASURED_PEAK_FLOPS, MEASURED_PEAK_BW = 82e12, 196e9
+    from tpulmi.utils.config import SearchConfig as _SC
+    from tpulmi.utils.profiling import probe_work_model
+
+    built = li.built
+    slot_counts = np.zeros((built.store.n_categories,), np.int64)
+    for lo in range(0, N_QUERIES, 2500):
+        logits = built.classifier.model.apply(
+            {"params": built.classifier.params}, q_nav[lo:lo + 2500])
+        _, pb = jax.lax.top_k(logits, N_PROBES)
+        slot_counts += np.bincount(
+            np.asarray(jax.device_get(pb)).reshape(-1),
+            minlength=built.store.n_categories)
+    counts = np.asarray(jax.device_get(built.store.counts))
+    qc, mc = _SC().pallas_qc, _SC().pallas_mc
+    flops, bytes_hbm = probe_work_model(
+        slot_counts, counts, D_SEARCH, qc, mc,
+        built.store.data_sorted.dtype.itemsize)
+
     ok = recall >= RECALL_GATE
     result = {
         "metric": "search_qps_10k_queries_10M_bp4_recall>=0.90",
@@ -127,6 +150,13 @@ def main():
         "ref_search_s": REF_SEARCH_S,
         "ref_build_s": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),
+        # probe-phase work model vs measured chip ceilings (NOTES.md)
+        "probe_tflop": round(flops / 1e12, 3),
+        "probe_gb": round(bytes_hbm / 1e9, 3),
+        "mfu_vs_measured_peak": round(
+            flops / t_search / MEASURED_PEAK_FLOPS, 3),
+        "hbm_vs_measured_peak": round(
+            bytes_hbm / t_search / MEASURED_PEAK_BW, 3),
     }
     print(json.dumps(result))
     sys.stdout.flush()

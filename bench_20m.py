@@ -43,10 +43,15 @@ D_SEARCH = 768
 N_GROUPS = 8
 N_CAT_INNER = 61        # 8 x 61 = 488 global buckets (~41k rows each)
 # Global probe budgets under the joint router, swept upward until the
-# recall gate clears: 16/488 (3.3% of buckets, the 10M run's fraction)
-# measured 0.827 — the two-level router needs a deeper probe budget than
-# the flat 122-bucket index, and probes are a search-time knob.
-PROBE_SWEEP = (16, 24, 32, 48, 64)
+# recall gate clears. Round 2 (uncalibrated, w=1) needed 48 probes for
+# 0.905; round 3 calibrates the outer temperature against true-neighbor
+# containment (hierarchical.calibrate_outer_weight) targeting the
+# VERDICT goal of >=0.90 at <=24 probes, so the sweep starts lower.
+PROBE_SWEEP = (12, 16, 24, 32, 48, 64)
+# After the gate clears, probe-mass truncation is tried at the winning
+# budget: easy queries stop probing at the routed-mass crossing, cutting
+# scanned rows per query with ~no recall cost (SearchConfig.probe_mass).
+PROBE_MASS_TRIES = (0.95, 0.98)
 K = 10
 SEED = 2023
 
@@ -107,6 +112,15 @@ def main():
     )
     t_build = time.perf_counter() - t_build
 
+    # calibrate the outer-router temperature against measured
+    # true-neighbor-bucket containment at the target budget (the round-2
+    # gap: w=1 concentrates probe mass in the top group — BENCH_20M.md)
+    t_cal = time.perf_counter()
+    calib = hi.calibrate_outer_weight(ds["data_nav"], probe_budget=24)
+    t_cal = time.perf_counter() - t_cal
+    print(f"# calibration ({t_cal:.0f}s): {calib}", file=sys.stderr,
+          flush=True)
+
     import jax.numpy as jnp
     q_nav = jax.device_put(jnp.asarray(ds["queries_nav"]))
     q_search = jax.device_put(jnp.asarray(ds["queries_search"]))
@@ -114,9 +128,9 @@ def main():
 
     # batch queries: at 20M the int8 store leaves ~1 GB of HBM headroom,
     # and the kernel's per-slot query gather scales with Q * probes
-    def run_at(probes, timed_runs):
+    def run_at(probes, timed_runs, probe_mass=None):
         scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=2500,
-                            pallas_qc=256)
+                            pallas_qc=256, probe_mass=probe_mass)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg)  # warmup/compile
         times = []
@@ -129,16 +143,19 @@ def main():
         recall = float(np.mean([
             len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
         ]))
-        return min(times), recall
+        scan = (hi.last_scan_rows, hi.last_nominal_rows)
+        return min(times), recall, scan
 
     sweep = []
     sweep_raw = []  # unrounded (probes, t, r): the gate must never compare
     # a 4-decimal-rounded recall (0.89996 rounds to 0.9) — round only when
     # serializing
     t_search = recall = probes_used = None
+    mass_used = None
+    scan_stats = (None, None)
     for probes in PROBE_SWEEP:
         try:
-            t, r = run_at(probes, timed_runs=1)
+            t, r, _ = run_at(probes, timed_runs=1)
         except Exception as e:  # deep budgets can exhaust HBM headroom —
             # keep the shallower sweep results instead of dying
             print(f"# probes={probes} failed: {e}", file=sys.stderr,
@@ -151,14 +168,62 @@ def main():
               file=sys.stderr, flush=True)
         if r >= RECALL_GATE:
             # headline at the first budget that clears the gate (best-of-3)
-            t2, _ = run_at(probes, timed_runs=2)
+            t2, _, _ = run_at(probes, timed_runs=2)
             t_search, recall, probes_used = min(t, t2), r, probes
             break
     if t_search is None:  # nothing cleared the gate; report the deepest
         if not sweep_raw:
             raise RuntimeError("no probe budget completed")
         probes_used, t_search, recall = sweep_raw[-1]
+
+    # probe-mass truncation at the winning budget: accept the biggest
+    # scanned-row cut that still clears the gate and is not slower
+    if recall >= RECALL_GATE:
+        for mass in PROBE_MASS_TRIES:
+            try:
+                tm, rm, sc = run_at(probes_used, timed_runs=2,
+                                    probe_mass=mass)
+            except Exception as e:
+                print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
+                      flush=True)
+                continue
+            print(f"# probe_mass={mass}: {tm:.3f}s recall {rm:.4f} "
+                  f"scanned {sc[0]} rows (chunk-granular {sc[1]})",
+                  file=sys.stderr, flush=True)
+            sweep.append({"probes": probes_used, "probe_mass": mass,
+                          "search_s": round(tm, 4),
+                          "recall_at_10": round(rm, 4),
+                          "scanned_rows": sc[0]})
+            if rm >= RECALL_GATE and tm <= t_search:
+                t_search, recall, mass_used, scan_stats = tm, rm, mass, sc
+                break
     qps = N_QUERIES / t_search
+
+    # ---- probe-phase work model vs the MEASURED chip ceilings
+    # (scripts/calib.py: ~82 bf16 TFLOPS, ~196 GB/s — NOTES.md) ----
+    MEASURED_PEAK_FLOPS, MEASURED_PEAK_BW = 82e12, 196e9
+    from tpulmi.utils.profiling import probe_work_model
+
+    built = hi.built
+    clf = built.classifier
+    slot_counts = np.zeros((built.store.n_categories,), np.int64)
+    for lo in range(0, N_QUERIES, 2500):
+        logits = clf.model.apply(
+            {"params": clf.params}, q_nav[lo:lo + 2500])
+        if mass_used is not None:
+            probs = jax.nn.softmax(logits, axis=-1)
+            p_top, pb = jax.lax.top_k(probs, probes_used)
+            cum = jnp.cumsum(p_top, axis=1)
+            pb = jnp.where((cum - p_top) < mass_used, pb, -1)
+        else:
+            _, pb = jax.lax.top_k(logits, probes_used)
+        pb = np.asarray(jax.device_get(pb)).reshape(-1)
+        pb = pb[pb >= 0]
+        slot_counts += np.bincount(pb, minlength=built.store.n_categories)
+    counts = np.asarray(jax.device_get(built.store.counts))
+    # XLA probe pipeline tiles: qc=query_chunk (512), mc=data_chunk (2048)
+    flops, bytes_hbm = probe_work_model(
+        slot_counts, counts, D_SEARCH, 512, 2048, 1)  # int8: 1 B/elem
 
     ok = recall >= RECALL_GATE
     result = {
@@ -169,7 +234,14 @@ def main():
         "recall_at_10": round(recall, 4),
         "search_s_10k_queries": round(t_search, 4),
         "n_probes": probes_used,
+        "probe_mass": mass_used,
+        "scanned_rows": scan_stats[0],
         "probe_sweep": sweep,
+        "outer_weight": calib["best"],
+        "router_containment_at_24": round(calib["best_containment"], 4),
+        "router_containment_w1": (round(calib["baseline_w1"], 4)
+                                  if calib["baseline_w1"] is not None
+                                  else None),
         "build_s": round(t_build, 2),
         "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
         "n_rows": N,
@@ -177,6 +249,13 @@ def main():
         "ref_search_s_10M": REF_SEARCH_S,
         "ref_build_s_10M": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),
+        # probe-phase work model vs measured chip ceilings (NOTES.md)
+        "probe_tflop": round(flops / 1e12, 3),
+        "probe_gb": round(bytes_hbm / 1e9, 3),
+        "mfu_vs_measured_peak": round(
+            flops / t_search / MEASURED_PEAK_FLOPS, 3),
+        "hbm_vs_measured_peak": round(
+            bytes_hbm / t_search / MEASURED_PEAK_BW, 3),
     }
     print(json.dumps(result))
     sys.stdout.flush()

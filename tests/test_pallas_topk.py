@@ -70,3 +70,31 @@ def test_pallas_subk_sentinels(rng):
     for i in range(8):
         cnt = (labels == probes[i, 0]).sum()
         assert (i_p[i, cnt:] == -1).all()
+
+
+def test_pallas_dump_ids_dropped(rng):
+    """Probe-mass truncation replaces dropped probes with the out-of-range
+    dump id (== n_categories). The kernel's worklist must route those
+    slots into dead padding blocks (live-slot count ≤ 0) so they return
+    sentinels — identical to the XLA pipeline's segment-drop."""
+    data, queries, labels, store = _setup(rng)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:4] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    # drop a random ~half of the non-rank-0 probes per query
+    drop = rng.random(probes.shape) < 0.5
+    drop[:, 0] = False
+    probes_dumped = np.where(drop, c, probes).astype(np.int32)
+
+    max_bucket = int(np.asarray(store.counts).max())
+    mc = 256
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes_dumped), jnp.asarray(queries), store,
+        k=10, qc=128, mc=mc, max_chunks=-(-max_bucket // mc),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    d_x, i_x = probe_search(probes_dumped, queries, store, k=10,
+                            data_chunk=mc)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+    assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99

@@ -319,9 +319,14 @@ class HierarchicalIndex(LearnedIndex):
         device."""
         import time
 
+        from tpulmi.index import _materialize_async
+
         start = time.perf_counter()
         hcfg = self.hconfig
         cfg = hcfg.inner
+        # memmap->RAM corpus copy runs while the nav stages keep the device
+        # busy (VERDICT r2: these were serial, ~340 s wasted at 10M)
+        mat_thread = _materialize_async(data_search_host)
         classifier, pred, centroids = self._build_navigation(data_nav)
         t_nav = time.perf_counter() - start
         log.info("hierarchical host-store build: nav stages %.1fs", t_nav)
@@ -334,6 +339,7 @@ class HierarchicalIndex(LearnedIndex):
         classifier.params = jax.device_get(classifier.params)
         centroids = np.asarray(jax.device_get(centroids))
 
+        data_search_host = mat_thread.result()
         store, arrays, data_search_host = self._host_store_to_built(
             pred, data_search_host, hcfg.n_groups * cfg.n_categories,
             store_dtype=store_dtype, normalized=normalized,
@@ -371,7 +377,8 @@ class HierarchicalIndex(LearnedIndex):
         probe_budget: int = 16,
         n_queries: int = 2048,
         n_corpus_sample: int = 131072,
-        grid: Tuple[float, ...] = (0.25, 0.4, 0.55, 0.7, 0.85, 1.0),
+        grid: Tuple[float, ...] = (0.0, 0.1, 0.25, 0.4, 0.55, 0.7, 0.85,
+                                   1.0),
         seed: int = 97,
         apply: bool = True,
     ) -> dict:
@@ -394,8 +401,9 @@ class HierarchicalIndex(LearnedIndex):
         if self.built is None:
             raise ValueError("Index is not built, call `build` first.")
         rng = np.random.default_rng(seed)
-        data_nav = np.asarray(data_nav)
-        n = data_nav.shape[0]
+        # only sampled rows are touched — no np.asarray of the full corpus
+        # (a 20M nav memmap would materialize 7.7 GB for a 2k-row sample)
+        n = int(data_nav.shape[0])
         n_queries = min(n_queries, n)
         n_corpus_sample = min(n_corpus_sample, n)
         qidx = rng.choice(n, size=n_queries, replace=False)

@@ -52,6 +52,35 @@ class BuiltIndex:
     max_bucket: int = 0           # largest bucket size (static search padding)
 
 
+class _materialize_async:
+    """Run `ensure_in_ram` on a background thread so the one-time
+    memmap→RAM corpus copy overlaps the (device-bound) navigation stages
+    of a host-store build instead of serializing after them."""
+
+    def __init__(self, arr):
+        import threading
+
+        from tpulmi.hoststore import ensure_in_ram
+
+        self._out = {}
+
+        def run():
+            try:
+                self._out["arr"] = ensure_in_ram(arr)
+            except BaseException as e:  # noqa: BLE001 — re-raised in result
+                self._out["err"] = e
+
+        self._th = threading.Thread(target=run, name="corpus-mat",
+                                    daemon=True)
+        self._th.start()
+
+    def result(self):
+        self._th.join()
+        if "err" in self._out:
+            raise self._out["err"]
+        return self._out["arr"]
+
+
 class LearnedIndex:
     def __init__(self, config: IndexConfig = IndexConfig()):
         self.config = config
@@ -295,6 +324,10 @@ class LearnedIndex:
         cfg = self.config
         start = time.perf_counter()
         n_categories = cfg.n_categories
+        # overlap the one-time corpus materialization (memmap -> RAM, ~340 s
+        # at 10M) with the nav stages: both are serial phases otherwise, and
+        # the copy is IO/memcpy-bound while nav waits on the device
+        mat_thread = _materialize_async(data_search_host)
         # upload nav in its source precision (callers may pass bf16 to halve
         # the relay-bound transfer); the build program casts to f32 on device
         data_nav = jax.device_put(jnp.asarray(data_nav))
@@ -343,6 +376,7 @@ class LearnedIndex:
 
         # ---- host-side bucket-sorted aligned layout (native kernel when
         # the toolchain allows, NumPy otherwise — tpulmi/hoststore.py) ----
+        data_search_host = mat_thread.result()
         store, arrays, data_search_host = self._host_store_to_built(
             pred, data_search_host, n_categories, store_dtype=store_dtype,
             normalized=normalized, overlap_upload=overlap_upload, mesh=mesh,
@@ -778,8 +812,10 @@ class LearnedIndex:
         pruning = (scfg.prune_after > 0 and backend == "xla"
                    and built.store.has_bounds
                    and n_buckets > scfg.prune_after)
-        truncating = scfg.probe_mass is not None and backend == "xla"
-        want_stats = pruning or truncating
+        truncating = scfg.probe_mass is not None
+        # scan counters exist only on the XLA pipeline (the Pallas kernel
+        # returns its 3-tuple; truncation still applies inside it)
+        want_stats = pruning or (truncating and backend == "xla")
         if scfg.prune_eps is not None:
             prune_eps = float(scfg.prune_eps)
         elif scfg.compute_dtype == "bfloat16":
@@ -795,7 +831,7 @@ class LearnedIndex:
             prog_key = (backend, n_buckets, k_eff, qpb_pad, data_chunk,
                         max_chunks, query_chunk, scfg.compute_dtype,
                         (scfg.prune_after, prune_eps) if pruning else None,
-                        scfg.probe_mass if truncating else None)
+                        scfg.probe_mass)
             program = self._search_programs.get(prog_key)
             if program is None:
                 program = make_search_program(
@@ -813,7 +849,7 @@ class LearnedIndex:
                     pallas_max_chunks=pallas_max_chunks,
                     prune_after=scfg.prune_after if pruning else 0,
                     prune_eps=prune_eps,
-                    probe_mass=scfg.probe_mass if truncating else None,
+                    probe_mass=scfg.probe_mass,
                 )
                 self._search_programs[prog_key] = program
             out = program(

@@ -353,15 +353,18 @@ def make_search_program(
     program then returns (dists, ids, max_slots, scanned_rows, nominal)
     with identical (dists, ids) to the unpruned pipeline.
 
-    ``probe_mass`` (XLA backend) truncates each query's probe list at the
+    ``probe_mass`` truncates each query's probe list at the
     routed-probability crossing (`SearchConfig.probe_mass`): dropped slots
-    point at an out-of-range dump bucket and never reach the scan. Either
-    feature makes the program return the 5-tuple with scan counters."""
+    point at an out-of-range dump bucket and never reach the scan — on the
+    XLA pipeline they are segment-dropped; on the Pallas kernel they land
+    in alignment-padding query blocks whose live-slot count is ≤0, which
+    `pl.when` skips. The XLA pipeline additionally returns the 5-tuple
+    with scan counters when pruning or truncating."""
     from tpulmi.ops.distance import l2_normalize
 
     t0 = min(prune_after, n_buckets - 1) if prune_after > 0 else 0
     pruning = backend == "xla" and t0 > 0
-    truncating = backend == "xla" and probe_mass is not None
+    truncating = probe_mass is not None
 
     @jax.jit
     def search_program(params, queries_nav, queries_search, store):
