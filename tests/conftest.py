@@ -35,3 +35,8 @@ def synthetic_small():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process runtime, etc.)")

@@ -174,27 +174,44 @@ def shard_store_from_host(arrays, mesh: Mesh,
     rows_pad = rows + pad_rows
     sharding = NamedSharding(mesh, P(axis))
     dtype = jnp.asarray(arrays.data_sorted[:1]).dtype
+    multihost = jax.process_count() > 1
 
-    put = jax.jit(
-        lambda b, sl, lo: jax.lax.dynamic_update_slice(
-            b, sl, (jnp.int32(0), lo, jnp.int32(0))),
-        donate_argnums=0,
-    )
-    local_bufs = []
-    for s, dev in enumerate(devices):
-        _, _, row_lo, row_hi = bounds[s]
-        buf = _alloc_on_device((1, rows_pad, d), dtype, dev)
-        for lo_r in range(row_lo, row_hi, slab_rows):
-            hi_r = min(lo_r + slab_rows, row_hi)
-            slab = jax.device_put(arrays.data_sorted[lo_r:hi_r][None], dev)
-            buf = put(buf, slab, jnp.int32(lo_r - row_lo))
-            del slab
-            # true barrier per slab: unsynchronized streams pile host
-            # copies and can wedge remote transfer backends (NOTES.md 7/8)
-            jax.device_get(buf[0, -1, :1])
-        local_bufs.append(buf)
-    data_global = jax.make_array_from_single_device_arrays(
-        (n_shards, rows_pad, d), sharding, local_bufs)
+    if multihost:
+        # multi-host mesh: every process runs this with the SAME host
+        # layout; each materializes only its own processes' shards via the
+        # callback (non-addressable shards are never touched locally)
+        def data_cb(index):
+            s = index[0].start or 0
+            _, _, row_lo, row_hi = bounds[s]
+            buf = np.zeros((1, rows_pad, d), arrays.data_sorted.dtype)
+            buf[0, : row_hi - row_lo] = arrays.data_sorted[row_lo:row_hi]
+            return buf
+
+        data_global = jax.make_array_from_callback(
+            (n_shards, rows_pad, d), sharding, data_cb)
+    else:
+        put = jax.jit(
+            lambda b, sl, lo: jax.lax.dynamic_update_slice(
+                b, sl, (jnp.int32(0), lo, jnp.int32(0))),
+            donate_argnums=0,
+        )
+        local_bufs = []
+        for s, dev in enumerate(devices):
+            _, _, row_lo, row_hi = bounds[s]
+            buf = _alloc_on_device((1, rows_pad, d), dtype, dev)
+            for lo_r in range(row_lo, row_hi, slab_rows):
+                hi_r = min(lo_r + slab_rows, row_hi)
+                slab = jax.device_put(
+                    arrays.data_sorted[lo_r:hi_r][None], dev)
+                buf = put(buf, slab, jnp.int32(lo_r - row_lo))
+                del slab
+                # true barrier per slab: unsynchronized streams pile host
+                # copies and can wedge remote transfer backends (NOTES.md
+                # rules 7/8)
+                jax.device_get(buf[0, -1, :1])
+            local_bufs.append(buf)
+        data_global = jax.make_array_from_single_device_arrays(
+            (n_shards, rows_pad, d), sharding, local_bufs)
 
     # small per-shard metadata: stacked on host, sharded by device_put
     ids_shards = np.full((n_shards, rows_pad), -1, dtype=np.int32)
@@ -215,19 +232,24 @@ def shard_store_from_host(arrays, mesh: Mesh,
         off_shards[s, hi - lo + 1:] = off_shards[s, hi - lo]
         starts[s, 0] = lo
 
+    def put_meta(host):
+        if multihost:
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx])
+        return jax.device_put(host, sharding)
+
     return ShardedBucketStore(
         data_sorted=data_global,
-        ids_sorted=jax.device_put(ids_shards, sharding),
-        offsets=jax.device_put(off_shards, sharding),
-        counts=jax.device_put(cnt_shards, sharding),
-        bucket_start=jax.device_put(starts, sharding),
+        ids_sorted=put_meta(ids_shards),
+        offsets=put_meta(off_shards),
+        counts=put_meta(cnt_shards),
+        bucket_start=put_meta(starts),
         n_shards=n_shards,
         cat_pad=cat_pad,
         rows=rows,
         pad_rows=pad_rows,
         row_align=arrays.row_align,
-        scales=(jax.device_put(scales_shards, sharding)
-                if quantized else None),
+        scales=(put_meta(scales_shards) if quantized else None),
     )
 
 
@@ -342,6 +364,16 @@ def sharded_probe_search(
         max_chunks=max_chunks, cat_pad=sstore.cat_pad, rows=sstore.rows,
         pad_rows=sstore.pad_rows,
     )
+    if jax.process_count() > 1:
+        # multi-host: replicated inputs must be GLOBAL arrays (every
+        # process holds the same host values — standard SPMD contract)
+        rep = NamedSharding(mesh, P())
+        pb_host = np.asarray(jax.device_get(probe_buckets))
+        qs_host = np.asarray(jax.device_get(queries_search))
+        probe_buckets = jax.make_array_from_callback(
+            pb_host.shape, rep, lambda idx: pb_host[idx])
+        queries_search = jax.make_array_from_callback(
+            qs_host.shape, rep, lambda idx: qs_host[idx])
     return program(
         probe_buckets,
         queries_search,
