@@ -85,3 +85,19 @@ def test_cli_hierarchical_int8_shard(tmp_path):
     import glob
     files = glob.glob(str(tmp_path) + "/**/*.h5", recursive=True)
     assert len(files) == 1
+
+
+def test_cli_calibrate_prune_probe_mass(tmp_path):
+    """CLI end-to-end with the round-3 knobs: router calibration, exact
+    threshold prune, probe-mass truncation."""
+    from tpulmi import cli
+
+    cli.run(
+        synthetic=8000, n_categories=6, epochs=3, lr=0.003, k=5,
+        buckets_perc=(40,), size="100K",
+        hierarchical_groups=3, calibrate=True, prune=True, probe_mass=0.98,
+        result_dir=str(tmp_path),
+    )
+    import glob
+    files = glob.glob(str(tmp_path) + "/**/*.h5", recursive=True)
+    assert len(files) == 1

@@ -59,6 +59,9 @@ def run(
     hierarchical_groups: int = 0,
     store_dtype: str = "float32",
     shard: int = 0,
+    probe_mass: float = 0.0,
+    calibrate: bool = False,
+    prune: bool = False,
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
@@ -133,6 +136,15 @@ def run(
         # search reranks the final candidates at full precision
         li.quantize(host_corpus=np.asarray(data_search, np.float32))
         log.info("store quantized to int8 (+exact host rerank)")
+    if calibrate and hierarchical_groups:
+        budget = max(n_buckets_list) if n_buckets_list else 8
+        cal = li.calibrate_outer_weight(data_nav, probe_budget=budget)
+        log.info("router calibrated: outer_weight=%.2f (containment "
+                 "%.4f, w=1 %.4f)", cal["best"], cal["best_containment"],
+                 cal["baseline_w1"] or -1.0)
+    if prune:
+        li.compute_bounds()
+        log.info("pruning bounds computed (spherical caps per bucket)")
     if shard:
         li.shard(n_shards=shard)
         log.info("store sharded across %d devices", shard)
@@ -149,9 +161,19 @@ def run(
         li.save(path)
         log.info("index checkpoint saved to %s", path)
 
+    scfg = None
+    if probe_mass or prune:
+        from tpulmi.utils.config import SearchConfig
+
+        scfg = SearchConfig(
+            k=k,
+            probe_mass=probe_mass or None,
+            prune_after=1 if prune else 0,
+        )
     for n_buckets in n_buckets_list:
         start = time.perf_counter()
-        dists, nns = li.search(queries_nav, queries_search, n_buckets=n_buckets, k=k)
+        dists, nns = li.search(queries_nav, queries_search,
+                               n_buckets=n_buckets, k=k, search_config=scfg)
         search_t = time.perf_counter() - start
         log.info("search with %d buckets: %.3fs (%.0f q/s)",
                  n_buckets, search_t, queries_nav.shape[0] / search_t)
@@ -222,6 +244,17 @@ def main(argv=None):
     parser.add_argument("--shard", default=0, type=int,
                         help="Shard the bucket store across this many "
                              "devices (multi-chip search)")
+    parser.add_argument("--probe-mass", default=0.0, type=float,
+                        help="Adaptive per-query probe truncation: stop "
+                             "probing at this routed-probability mass "
+                             "(0 = off; e.g. 0.98)")
+    parser.add_argument("--calibrate", default=False, type=_str2bool,
+                        help="Calibrate the hierarchical outer-router "
+                             "temperature against neighbor containment "
+                             "(hierarchical indexes only)")
+    parser.add_argument("--prune", default=False, type=_str2bool,
+                        help="Compute per-bucket bounds and enable the "
+                             "exact threshold tile-skip")
     args = parser.parse_args(argv)
 
     run(
@@ -244,6 +277,9 @@ def main(argv=None):
         hierarchical_groups=args.hierarchical_groups,
         store_dtype=args.store_dtype,
         shard=args.shard,
+        probe_mass=args.probe_mass,
+        calibrate=args.calibrate,
+        prune=args.prune,
     )
 
 
