@@ -47,11 +47,13 @@ N_CAT_INNER = 61        # 8 x 61 = 488 global buckets (~41k rows each)
 # 0.905; round 3 calibrates the outer temperature against true-neighbor
 # containment (hierarchical.calibrate_outer_weight) targeting the
 # VERDICT goal of >=0.90 at <=24 probes, so the sweep starts lower.
-PROBE_SWEEP = (12, 16, 24, 32, 48, 64)
-# After the gate clears, probe-mass truncation is tried at the winning
-# budget: easy queries stop probing at the routed-mass crossing, cutting
-# scanned rows per query with ~no recall cost (SearchConfig.probe_mass).
-PROBE_MASS_TRIES = (0.95, 0.98)
+PROBE_SWEEP = (6, 8, 12, 16, 24, 32, 48)
+# NOTE on probe_mass: NOT used here. The calibrated joint score
+# (w·logP(g)+logP(b|g), w≈0.25) is no longer a probability, so mass-based
+# truncation cuts far too deep (measured: recall 0.94 -> 0.52 at 12
+# probes). probe_mass is a knob for probability-calibrated routers (the
+# flat index's plain softmax); HierarchicalIndex.search warns about the
+# combination.
 K = 10
 SEED = 2023
 
@@ -126,36 +128,50 @@ def main():
     q_search = jax.device_put(jnp.asarray(ds["queries_search"]))
     jax.device_get(q_search[-1, :1])
 
-    # batch queries: at 20M the int8 store leaves ~1 GB of HBM headroom,
-    # and the kernel's per-slot query gather scales with Q * probes
-    def run_at(probes, timed_runs, probe_mass=None):
-        scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=2500,
-                            pallas_qc=256, probe_mass=probe_mass)
+    # query batching bounds the device working set (the kernel's slot
+    # buffers are dominated by the n_cat*qc alignment term, so one
+    # 10k-query dispatch costs barely more memory than four 2.5k ones and
+    # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
+    # smaller batches if the single dispatch exhausts the ~1 GB headroom
+    def run_once(probes, bq):
+        scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=bq,
+                            pallas_qc=256)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg)  # warmup/compile
-        times = []
-        ids = None
-        for _ in range(timed_runs):
-            start = time.perf_counter()
-            dists, ids = hi.search(q_nav, q_search, n_buckets=probes, k=K,
-                                   search_config=scfg)
-            times.append(time.perf_counter() - start)
+        start = time.perf_counter()
+        dists, ids = hi.search(q_nav, q_search, n_buckets=probes, k=K,
+                               search_config=scfg)
+        t = time.perf_counter() - start
         recall = float(np.mean([
             len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
         ]))
-        scan = (hi.last_scan_rows, hi.last_nominal_rows)
-        return min(times), recall, scan
+        return t, recall
+
+    batch_q = {"bq": N_QUERIES}
+
+    def run_at(probes, timed_runs):
+        try:
+            t, r = run_once(probes, batch_q["bq"])
+        except Exception as e:
+            if batch_q["bq"] == 2500:
+                raise
+            print(f"# bq={batch_q['bq']} failed ({e}); retrying bq=2500",
+                  file=sys.stderr, flush=True)
+            batch_q["bq"] = 2500
+            t, r = run_once(probes, 2500)
+        for _ in range(timed_runs - 1):
+            t2, _ = run_once(probes, batch_q["bq"])
+            t = min(t, t2)
+        return t, r
 
     sweep = []
     sweep_raw = []  # unrounded (probes, t, r): the gate must never compare
     # a 4-decimal-rounded recall (0.89996 rounds to 0.9) — round only when
     # serializing
     t_search = recall = probes_used = None
-    mass_used = None
-    scan_stats = (None, None)
     for probes in PROBE_SWEEP:
         try:
-            t, r, _ = run_at(probes, timed_runs=1)
+            t, r = run_at(probes, timed_runs=1)
         except Exception as e:  # deep budgets can exhaust HBM headroom —
             # keep the shallower sweep results instead of dying
             print(f"# probes={probes} failed: {e}", file=sys.stderr,
@@ -168,35 +184,13 @@ def main():
               file=sys.stderr, flush=True)
         if r >= RECALL_GATE:
             # headline at the first budget that clears the gate (best-of-3)
-            t2, _, _ = run_at(probes, timed_runs=2)
+            t2, _ = run_at(probes, timed_runs=2)
             t_search, recall, probes_used = min(t, t2), r, probes
             break
     if t_search is None:  # nothing cleared the gate; report the deepest
         if not sweep_raw:
             raise RuntimeError("no probe budget completed")
         probes_used, t_search, recall = sweep_raw[-1]
-
-    # probe-mass truncation at the winning budget: accept the biggest
-    # scanned-row cut that still clears the gate and is not slower
-    if recall >= RECALL_GATE:
-        for mass in PROBE_MASS_TRIES:
-            try:
-                tm, rm, sc = run_at(probes_used, timed_runs=2,
-                                    probe_mass=mass)
-            except Exception as e:
-                print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
-                      flush=True)
-                continue
-            print(f"# probe_mass={mass}: {tm:.3f}s recall {rm:.4f} "
-                  f"scanned {sc[0]} rows (chunk-granular {sc[1]})",
-                  file=sys.stderr, flush=True)
-            sweep.append({"probes": probes_used, "probe_mass": mass,
-                          "search_s": round(tm, 4),
-                          "recall_at_10": round(rm, 4),
-                          "scanned_rows": sc[0]})
-            if rm >= RECALL_GATE and tm <= t_search:
-                t_search, recall, mass_used, scan_stats = tm, rm, mass, sc
-                break
     qps = N_QUERIES / t_search
 
     # ---- probe-phase work model vs the MEASURED chip ceilings
@@ -210,20 +204,13 @@ def main():
     for lo in range(0, N_QUERIES, 2500):
         logits = clf.model.apply(
             {"params": clf.params}, q_nav[lo:lo + 2500])
-        if mass_used is not None:
-            probs = jax.nn.softmax(logits, axis=-1)
-            p_top, pb = jax.lax.top_k(probs, probes_used)
-            cum = jnp.cumsum(p_top, axis=1)
-            pb = jnp.where((cum - p_top) < mass_used, pb, -1)
-        else:
-            _, pb = jax.lax.top_k(logits, probes_used)
+        _, pb = jax.lax.top_k(logits, probes_used)
         pb = np.asarray(jax.device_get(pb)).reshape(-1)
-        pb = pb[pb >= 0]
         slot_counts += np.bincount(pb, minlength=built.store.n_categories)
     counts = np.asarray(jax.device_get(built.store.counts))
-    # XLA probe pipeline tiles: qc=query_chunk (512), mc=data_chunk (2048)
+    # Pallas kernel tiles actually used by this config: qc=256, mc=1024
     flops, bytes_hbm = probe_work_model(
-        slot_counts, counts, D_SEARCH, 512, 2048, 1)  # int8: 1 B/elem
+        slot_counts, counts, D_SEARCH, 256, 1024, 1)  # int8: 1 B/elem
 
     ok = recall >= RECALL_GATE
     result = {
@@ -234,8 +221,7 @@ def main():
         "recall_at_10": round(recall, 4),
         "search_s_10k_queries": round(t_search, 4),
         "n_probes": probes_used,
-        "probe_mass": mass_used,
-        "scanned_rows": scan_stats[0],
+        "batch_queries": batch_q["bq"],
         "probe_sweep": sweep,
         "outer_weight": calib["best"],
         "router_containment_at_24": round(calib["best_containment"], 4),
