@@ -168,3 +168,28 @@ def test_hierarchical_mesh_build_group_per_chip(rng):
     ])
     assert recall > 0.99
     np.testing.assert_allclose(d, np.asarray(gt_d), atol=1e-5)
+
+
+def test_mesh_built_index_checkpoints_to_flat(rng, tmp_path):
+    """A mesh-built index (whose built.store holds the HOST layout arrays)
+    must checkpoint, and the restored index searches flat-on-one-device
+    with identical results to the sharded original."""
+    n, q = 3000, 24
+    nav = _unit(rng, n, 16)
+    data = _unit(rng, n, 48)
+    qn, qs = _unit(rng, q, 16), _unit(rng, q, 48)
+    cfg = IndexConfig(n_categories=8, epochs=3, lr=0.003, batch_size=512,
+                      row_align=1)
+    scfg = SearchConfig(k=5, backend="xla", compute_dtype="float32")
+
+    mesh = make_mesh(N_DEV, ("buckets",))
+    li = LearnedIndex(cfg)
+    li.build_with_host_store(nav, data, normalized=True,
+                             store_dtype="float32", mesh=mesh)
+    d0, i0 = li.search(qn, qs, n_buckets=4, k=5, search_config=scfg)
+
+    li.save(tmp_path / "ckpt")
+    restored = LearnedIndex.load(tmp_path / "ckpt")
+    assert restored._sharded is None  # restores to single-device flat
+    d1, i1 = restored.search(qn, qs, n_buckets=4, k=5, search_config=scfg)
+    np.testing.assert_allclose(d1, d0, atol=1e-5)
