@@ -67,18 +67,25 @@ def test_no_duplicate_ids(built_hier, synthetic_small):
 
 
 def test_joint_router_logits_shape(built_hier, synthetic_small):
-    """The factorized router exposes flat (Q, G*C) joint log-probs."""
+    """The factorized router exposes flat (Q, G*C) joint scores
+    w·logP(g|q) + logP(b|q,g); the unweighted components are true
+    log-probabilities (logsumexp == 0) and apply() is their calibrated
+    combination."""
+    import jax
     import jax.numpy as jnp
 
     clf = built_hier.built.classifier
     q = jnp.asarray(synthetic_small["queries_nav"][:16])
     logits = clf.model.apply({"params": clf.params}, q)
     assert logits.shape == (16, 4 * 8)
-    # rows are joint log-probabilities: logsumexp == 0
-    import jax
-
-    lse = jax.scipy.special.logsumexp(logits, axis=1)
-    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+    lo, li = clf.model.components({"params": clf.params}, q)
+    np.testing.assert_allclose(
+        np.asarray(jax.scipy.special.logsumexp(lo, axis=1)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jax.scipy.special.logsumexp(li, axis=2)), 0.0, atol=1e-4)
+    w = clf.model.outer_weight
+    want = (w * np.asarray(lo)[:, :, None] + np.asarray(li)).reshape(16, -1)
+    np.testing.assert_allclose(np.asarray(logits), want, atol=1e-5)
 
 
 def test_hierarchical_save_load(built_hier, synthetic_small, tmp_path):

@@ -62,6 +62,10 @@ class HierarchicalConfig:
     outer_model_type: str = "MLP-5"
     inner: IndexConfig = field(default_factory=IndexConfig)
     seed: int = 2023
+    # Auto-calibrate the outer temperature at the end of every build at
+    # this probe budget (calibrate_outer_weight; measured at 20M: probes
+    # for recall>=0.90 drop 48 -> 8). 0 disables.
+    calibrate_budget: int = 16
     # rows per inner-build size class are padded with random unit vectors
     # (cosine ~1 to any query, never reach a top-k) so same-size groups
     # share one compiled inner-build program
@@ -296,6 +300,9 @@ class HierarchicalIndex(LearnedIndex):
             config=cfg,
             max_bucket=mx,
         )
+        if hcfg.calibrate_budget:
+            self.calibrate_outer_weight(
+                data_nav, probe_budget=hcfg.calibrate_budget)
         return pred, build_time
 
     def build_with_host_store(
@@ -358,6 +365,9 @@ class HierarchicalIndex(LearnedIndex):
             max_bucket=int(arrays.counts.max()) if arrays.counts.size else 0,
         )
         self._host_corpus = (data_search_host, normalized)
+        if hcfg.calibrate_budget:
+            self.calibrate_outer_weight(
+                data_nav, probe_budget=hcfg.calibrate_budget)
         return pred, build_time
 
     # ------------------------------------------------------------ calibration

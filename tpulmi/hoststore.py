@@ -6,7 +6,8 @@ the device-side layout in tpulmi/build.py needs a second in-HBM copy for
 the sort, which a >half-HBM corpus cannot afford.
 
 Used by `LearnedIndex.build_with_host_store` (10M single-level) and
-`HierarchicalIndex.build_big` (20M+ two-level). The scatter loop is the
+`HierarchicalIndex.build_with_host_store` (20M+ two-level). The scatter
+loop is the
 single-core bottleneck of the 10M build (346 s in round-1 BENCH_10M.md), so
 the row gather/scatter runs in the native C++ kernel (tpulmi/native) when
 available, with a NumPy fallback.
