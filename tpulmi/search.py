@@ -203,23 +203,32 @@ def _probe_search_core(
 
             occupied = qj * qc < qcnt
             if prune:
-                # spherical-cap lower bound per slot: skip this whole
-                # (query-chunk × bucket) scan when no slot's bound can
-                # beat its running kth-best
-                qvecs = jnp.take(queries, q_idx, axis=0)
-                cq = jnp.clip(
-                    qvecs.astype(jnp.float32) @ bounds_c[c], -1.0, 1.0)
-                cr = bounds_cr[c]
-                cos_delta = jnp.where(
-                    cq >= cr, 1.0,
-                    cq * cr + jnp.sqrt(jnp.maximum(1.0 - cq * cq, 0.0))
-                    * jnp.sqrt(jnp.maximum(1.0 - cr * cr, 0.0)),
-                )
-                bound = 1.0 - bounds_mn[c] * jnp.maximum(cos_delta, 0.0)
-                thr = jnp.take(thresholds, q_idx)
-                needed = valid_q & ((bound - prune_eps) <= thr)
-                run = jnp.logical_and(occupied, jnp.any(needed))
-                out = jax.lax.cond(run, active, inactive, qvecs)
+                # nested conds: empty query chunks skip even the bound
+                # computation; occupied ones compute the spherical-cap
+                # lower bound per slot and skip the whole (query-chunk ×
+                # bucket) scan when no slot's bound can beat its running
+                # kth-best
+                def when_occupied(_):
+                    qvecs = jnp.take(queries, q_idx, axis=0)
+                    cq = jnp.clip(
+                        qvecs.astype(jnp.float32) @ bounds_c[c], -1.0, 1.0)
+                    cr = bounds_cr[c]
+                    cos_delta = jnp.where(
+                        cq >= cr, 1.0,
+                        cq * cr
+                        + jnp.sqrt(jnp.maximum(1.0 - cq * cq, 0.0))
+                        * jnp.sqrt(jnp.maximum(1.0 - cr * cr, 0.0)),
+                    )
+                    bound = (1.0
+                             - bounds_mn[c] * jnp.maximum(cos_delta, 0.0))
+                    thr = jnp.take(thresholds, q_idx)
+                    needed = valid_q & ((bound - prune_eps) <= thr)
+                    ran = jnp.any(needed)
+                    return jax.lax.cond(ran, active, inactive, qvecs), ran
+
+                out, run = jax.lax.cond(
+                    occupied, when_occupied,
+                    lambda _: (init, jnp.bool_(False)), None)
             else:
                 run = occupied
                 out = jax.lax.cond(run, active, inactive, None)
