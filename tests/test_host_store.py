@@ -97,3 +97,16 @@ def test_layout_and_upload_overlap_matches_blocking(rng, store_dtype):
         want.view(np.uint16) if store_dtype == "bfloat16" else want)
     if store_dtype == "int8":
         np.testing.assert_array_equal(a_o.scales, a_b.scales)
+
+
+def test_slab_upload_serial_roundtrip(rng):
+    """The serial slab-upload fallback (used for near-HBM stores where one
+    whole-array device_put would host-OOM) lands the exact host bytes,
+    including a ragged tail slab."""
+    import jax
+
+    from tpulmi.hoststore import _slab_upload_serial
+
+    host = rng.normal(size=(1000, 16)).astype(np.float32)
+    buf = _slab_upload_serial(host, slab_rows=256)  # 3 full slabs + 232 tail
+    np.testing.assert_array_equal(np.asarray(jax.device_get(buf)), host)

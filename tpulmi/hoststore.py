@@ -192,6 +192,32 @@ def layout_host_store(
 
 
 
+def _slab_upload_serial(store_host, slab_rows: int):
+    """Blocking slab-by-slab upload of a host array into a device buffer
+    (the same donated `dynamic_update_slice` loop the overlapped uploader
+    runs, inline). Bounded host staging — never more than one slab in
+    flight — and a true barrier per slab; the safe fallback for near-HBM
+    arrays where one whole-array `device_put` stages multiple host copies
+    and OOMs the host (NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    slab_rows = max(int(slab_rows), 1)
+    put = jax.jit(
+        lambda b, s, lo: jax.lax.dynamic_update_slice(
+            b, s, (lo, jnp.int32(0))),
+        donate_argnums=0,
+    )
+    buf = jnp.zeros(store_host.shape, jnp.asarray(store_host[:1]).dtype)
+    for lo in range(0, store_host.shape[0], slab_rows):
+        hi = min(lo + slab_rows, store_host.shape[0])
+        slab = jax.device_put(store_host[lo:hi])
+        buf = put(buf, slab, jnp.int32(lo))
+        del slab
+        jax.device_get(buf[-1, :1])
+    return buf
+
+
 def layout_and_upload(
     pred: np.ndarray,
     data_search_host,
@@ -223,30 +249,11 @@ def layout_and_upload(
     import threading
 
     import jax
-    import jax.numpy as jnp
 
     # Above this, a single blocking device_put is unsafe on the remote
     # backend: the client stages multiple host-RAM copies of the whole
     # array (observed host-OOM at 15.7 GB) — use the serial slab loop.
     big_bytes = 2 << 30
-
-    def _slab_upload_serial(store_host, rows):
-        """Blocking slab-by-slab upload into a device buffer (the same
-        donated dynamic_update_slice loop the overlapped uploader runs,
-        inline). Bounded host staging; one true barrier per slab."""
-        put = jax.jit(
-            lambda b, s, lo: jax.lax.dynamic_update_slice(
-                b, s, (lo, jnp.int32(0))),
-            donate_argnums=0,
-        )
-        buf = jnp.zeros(store_host.shape, jnp.asarray(store_host[:1]).dtype)
-        for lo in range(0, store_host.shape[0], rows):
-            hi = min(lo + rows, store_host.shape[0])
-            slab = jax.device_put(store_host[lo:hi])
-            buf = put(buf, slab, jnp.int32(lo))
-            del slab
-            jax.device_get(buf[-1, :1])
-        return buf
 
     if overlap:
         slab_rows = max(int(slab_rows), 1)
