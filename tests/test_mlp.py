@@ -68,3 +68,37 @@ def test_predict_chunking_consistent(rng):
     np.testing.assert_array_equal(
         np.asarray(clf.predict(x, chunk=128)), np.asarray(clf.predict(x, chunk=700))
     )
+
+
+def test_train_lr_sweep_vmapped(rng):
+    """One vmapped program trains a classifier per learning rate; every
+    config learns, and the lr axis is a real per-config axis (different
+    lrs -> different trajectories)."""
+    import jax
+
+    from tpulmi.models.mlp import make_model
+    from tpulmi.models.train import train_lr_sweep
+
+    n, d, c = 2000, 12, 6
+    centers = rng.normal(size=(c, d)).astype(np.float32)
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+    X = centers[labels] + 0.05 * rng.normal(size=(n, d)).astype(np.float32)
+
+    model = make_model("MLP-5", n_classes=c)
+    lrs = (0.0003, 0.003)
+    params, losses = train_lr_sweep(model, X, labels, lrs, epochs=6,
+                                    batch_size=256, seed=7)
+    losses = np.asarray(jax.device_get(losses))
+    assert losses.shape == (2, 6)
+    # both configs learn; trajectories differ across the lr axis
+    assert (losses[:, -1] < losses[:, 0]).all()
+    assert abs(losses[0, -1] - losses[1, -1]) > 1e-4
+
+    # the stacked params are per-config: the faster lr fits better here
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.shape[0] == 2
+    import jax.numpy as jnp
+    p1 = jax.tree_util.tree_map(lambda l: l[1], params)
+    acc = np.mean(np.asarray(jnp.argmax(
+        model.apply({"params": p1}, jnp.asarray(X)), axis=1)) == labels)
+    assert acc > 0.9

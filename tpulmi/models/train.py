@@ -108,6 +108,78 @@ def _make_train_fn(model: MLP, tx: optax.GradientTransformation,
     return train_fn
 
 
+def train_lr_sweep(
+    model,
+    X,
+    y,
+    lrs,
+    epochs: int = 8,
+    batch_size: int = 1024,
+    seed: int = 2023,
+    max_train_steps: Optional[int] = None,
+):
+    """Train one classifier PER learning rate in a single vmapped program —
+    the TPU-idiomatic version of the reference's one-PBS-job-per-combo
+    hyperparameter sweep (`search/run-multiple.sh:11-34`; SURVEY.md §2.3
+    "vmap small-model training across configs on one chip"). All configs
+    share the data, the batch schedule, and one compiled program; the MXU
+    batches the per-config matmuls along the vmap axis.
+
+    Returns (stacked_params, losses) where every leaf of `stacked_params`
+    carries a leading (len(lrs),) axis and `losses` is
+    (len(lrs), epochs)."""
+    X = jnp.asarray(X, jnp.float32)
+    y = jnp.asarray(y, jnp.int32)
+    n = int(X.shape[0])
+    lrs = jnp.asarray(lrs, jnp.float32)
+    epochs_eff, steps_per_epoch, total_steps = train_plan(
+        n, epochs, batch_size, max_train_steps
+    )
+    eff_batch = min(batch_size, n)
+
+    @jax.jit
+    def sweep_fn(X, y, lrs, key):
+        ekeys = jax.random.split(key, epochs_eff)
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, n)[
+                : steps_per_epoch * eff_batch
+            ]
+        )(ekeys)
+        idx = perms.reshape(total_steps, eff_batch)
+
+        def run_one(lr, ikey):
+            # optax transforms are pure: constructing the optimizer inside
+            # the traced fn with a TRACED lr is what makes this vmappable
+            tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+            params = model.init(ikey, jnp.zeros((1, X.shape[1])))["params"]
+            opt_state = tx.init(params)
+
+            def step_fn(carry, batch_idx):
+                params, opt_state = carry
+                xb = jnp.take(X, batch_idx, axis=0)
+                yb = jnp.take(y, batch_idx, axis=0)
+
+                def loss_fn(p):
+                    logits = model.apply({"params": p}, xb)
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        logits, yb).mean()
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates),
+                        opt_state), loss
+
+            (params, _), losses = jax.lax.scan(
+                step_fn, (params, opt_state), idx)
+            return params, losses.reshape(
+                epochs_eff, steps_per_epoch).mean(axis=1)
+
+        ikeys = jax.random.split(jax.random.PRNGKey(seed), lrs.shape[0])
+        return jax.vmap(run_one)(lrs, ikeys)
+
+    return sweep_fn(X, y, lrs, jax.random.PRNGKey(seed + 1))
+
+
 class BucketClassifier:
     """Train/serve wrapper around the Flax MLP, analogous to the reference's
     ``NeuralNetwork`` (`search/li/model.py:114`)."""
