@@ -8,6 +8,11 @@ device and reusing compiled programs whenever shapes repeat.
 
 Grid semantics mirror the reference's loops: preprocess × dataset ×
 learning rate × model type × epochs × n_categories, plus probe budgets.
+
+For learning-rate-only grids the training stage can additionally be
+batched into ONE vmapped program across configs
+(`tpulmi.models.train.train_lr_sweep`) — the per-config matmuls ride the
+MXU along the vmap axis instead of running one job per combo.
 """
 
 import itertools
