@@ -7,7 +7,13 @@ roofline utilization. Loops ITERS dispatches back-to-back inside one timing
 window so the ~65 ms per-dispatch relay latency of this environment
 amortizes away and the number approaches true device time.
 
-Usage: PYTHONPATH=. python scripts/kbench.py [N_ROWS] [--xla] [--int8]
+Usage: PYTHONPATH=. python scripts/kbench.py [N_ROWS] [--xla] [--int8] [--int8q]
+
+Env knobs (so one script covers every workload shape): KB_C buckets,
+KB_P probes/query, KB_Q queries, KB_ITERS timing iters. E.g. the 20M
+bench's kernel shape (488 buckets x 40,960 rows, 8 probes, ~164
+queries/bucket) replicated at device-fittable scale:
+  KB_C=61 KB_P=8 KB_Q=1250 python scripts/kbench.py 2500000 --int8
 """
 
 import json
@@ -34,12 +40,17 @@ from tpulmi.search import _probe_search_impl     # noqa: E402
 # v5e peaks (one chip): 197 bf16 TFLOPS / 394 int8 TOPS, 819 GB/s HBM
 PEAK_BF16 = 197e12
 PEAK_HBM = 819e9
+# measured ceilings for THIS environment's chip (scripts/calib.py, NOTES.md)
+MEAS_BF16 = 82e12
+MEAS_HBM = 196e9
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 2_000_000
-Q, P, K = 10_000, 7, 10
+Q, P, K = (int(os.environ.get("KB_Q", 10_000)),
+           int(os.environ.get("KB_P", 7)),
+           int(os.environ.get("KB_K", 10)))
 D = 768
-C = 122
-ITERS = 8
+C = int(os.environ.get("KB_C", 122))
+ITERS = int(os.environ.get("KB_ITERS", 8))
 SEED = 0
 
 
@@ -101,7 +112,7 @@ def bench(fn, out_holder):
 
 def main():
     args = set(sys.argv[2:]) | ({sys.argv[1]} if len(sys.argv) > 1 else set())
-    align = 1024
+    align = int(os.environ.get("KB_ALIGN", 1024))
     store = make_store(N, C, D, align)
     n_actual = store.n
     max_bucket = n_actual // C
@@ -120,7 +131,7 @@ def main():
     results = {}
     outs = []
     configs = [(256, 512), (512, 512), (256, 1024), (512, 1024), (512, 2048),
-               (768, 1024)]
+               (768, 1024), (256, 2048), (384, 2048), (128, 2048)]
     elem = store.data_sorted.dtype.itemsize
     for qc, mc in configs:
         if align % mc:
@@ -138,6 +149,8 @@ def main():
                 probes, queries, store, k=K, qc=qc, mc=mc,
                 max_chunks=-(-max_bucket // mc),
                 compute_dtype=jnp.bfloat16,
+                int8_queries="--int8q" in args,
+                extract_sub=int(os.environ.get("KB_SUB", 64)),
             )
 
         try:
@@ -150,6 +163,8 @@ def main():
             "tflops": round(flops / t / 1e12, 1),
             "mfu": round(flops / t / PEAK_BF16, 3),
             "hbm_frac": round(bytes_hbm / t / PEAK_HBM, 3),
+            "mfu_meas": round(flops / t / MEAS_BF16, 3),
+            "hbm_meas": round(bytes_hbm / t / MEAS_HBM, 3),
         }
         print(json.dumps({f"pallas_qc{qc}_mc{mc}": results[f"pallas_qc{qc}_mc{mc}"]}),
               flush=True)
@@ -170,6 +185,8 @@ def main():
             "s": round(t, 4),
             "tflops": round(flops / t / 1e12, 1),
             "mfu": round(flops / t / PEAK_BF16, 3),
+            "mfu_meas": round(flops / t / MEAS_BF16, 3),
+            "hbm_meas": round(bytes_hbm / t / MEAS_HBM, 3),
         }
         print(json.dumps({"xla": results["xla"]}), flush=True)
 

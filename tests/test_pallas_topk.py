@@ -72,6 +72,43 @@ def test_pallas_subk_sentinels(rng):
         assert (i_p[i, cnt:] == -1).all()
 
 
+def test_pallas_int8_queries_matches_xla(rng):
+    """int8_queries runs the matmul int8 x int8 -> int32 with the query's
+    scale factored out of the kernel. Feeding the XLA quantized pipeline the
+    DEQUANTIZED quantized queries reproduces the kernel's exact operands, so
+    distances must agree to f32 rounding and the id sets must match."""
+    from tpulmi.ops.quantize import quantize_store
+
+    data, queries, labels, store = _setup(rng, mc=1024)
+    store_q = quantize_store(store)
+    c = store_q.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:3] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store_q,
+        k=10, qc=128, mc=1024, max_chunks=1,
+        compute_dtype=jnp.float32, int8_queries=True, interpret=True,
+    )
+    qs = np.maximum(np.abs(queries).max(axis=1), 1e-12)
+    qcodes = np.clip(np.round(queries / qs[:, None] * 127.0), -127, 127)
+    q_dq = (qcodes * (qs[:, None] / 127.0)).astype(np.float32)
+    d_x, i_x = probe_search(probes, q_dq, store_q, k=10, data_chunk=1024)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-4)
+    assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
+    # and the int8-query ranking stays close to the full-precision one
+    d_f, i_f, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store_q,
+        k=10, qc=128, mc=1024, max_chunks=1,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10.0
+        for a, b in zip(np.asarray(i_p), np.asarray(i_f))
+    ])
+    assert overlap > 0.9
+
+
 def test_pallas_dump_ids_dropped(rng):
     """Probe-mass truncation replaces dropped probes with the out-of-range
     dump id (== n_categories). The kernel's worklist must route those

@@ -831,7 +831,7 @@ class LearnedIndex:
             prog_key = (backend, n_buckets, k_eff, qpb_pad, data_chunk,
                         max_chunks, query_chunk, scfg.compute_dtype,
                         (scfg.prune_after, prune_eps) if pruning else None,
-                        scfg.probe_mass)
+                        scfg.probe_mass, scfg.int8_queries)
             program = self._search_programs.get(prog_key)
             if program is None:
                 program = make_search_program(
@@ -847,6 +847,7 @@ class LearnedIndex:
                     pallas_qc=scfg.pallas_qc,
                     pallas_mc=scfg.pallas_mc,
                     pallas_max_chunks=pallas_max_chunks,
+                    pallas_int8_queries=scfg.int8_queries,
                     prune_after=scfg.prune_after if pruning else 0,
                     prune_eps=prune_eps,
                     probe_mass=scfg.probe_mass,

@@ -46,7 +46,8 @@ _DSTART, _NDB, _QLIM, _DLIM = range(4)
 
 
 def _kernel(s_ref, q_ref, d_ref, *rest,
-            k: int, qc: int, mc: int, quantized: bool = False):
+            k: int, qc: int, mc: int, quantized: bool = False,
+            int8q: bool = False, sub: int = 64):
     if quantized:
         sc_ref, out_d_ref, out_i_ref, best_d, best_i = rest
     else:
@@ -65,28 +66,47 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
 
     @pl.when(jnp.logical_and(c < ndb, q_lim > 0))
     def _():
-        q = q_ref[:]            # (qc, d)
+        q = q_ref[:]            # (qc, d); int8 codes when int8q
         blk = d_ref[:]          # (mc, d); int8 codes when quantized
-        if quantized:
-            # dequantize in VMEM (the HBM read was 1 byte/elem); the per-row
-            # scale applies to the similarity columns after the matmul
-            blk = blk.astype(q.dtype)
-        sims = jax.lax.dot_general(
-            q, blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if int8q:
+            # int8 x int8 -> int32 directly on the MXU: v5e runs int8
+            # matmuls at 2x the bf16 rate (394 vs 197 TOPS peak), and the
+            # VMEM dequant cast of the data tile disappears. The query's
+            # own scale is a positive per-query constant, so it cannot
+            # change any per-query ranking or the threshold count — it is
+            # applied OUTSIDE the kernel to the final top-k only.
+            sims = jax.lax.dot_general(
+                q, blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            if quantized:
+                # dequantize in VMEM (the HBM read was 1 byte/elem); the
+                # per-row scale applies to the columns after the matmul
+                blk = blk.astype(q.dtype)
+            sims = jax.lax.dot_general(
+                q, blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if quantized:
             # per-row scales/127 arrive (mc/128, 128)-tiled (TPU blocks need
             # ≥(8,128) tiles); row-major reshape restores scalar row order
             sims = sims * sc_ref[:].reshape(1, mc)
         dists = 1.0 - sims      # (qc, mc) f32
 
+        # Column mask only: knock out rows past the bucket's end (live only
+        # on the bucket's LAST chunk, but one iota+compare+select is cheap
+        # enough to run unconditionally). Padded QUERY rows are NOT masked
+        # here — their outputs are discarded at scatter time, and the only
+        # way they could cost anything is by inflating the extraction
+        # iteration count, which the (qc,)-shaped mask on `cnt` below
+        # prevents for the price of one tiny 1-D select instead of a full
+        # (qc, mc) row-iota + and + where every tile.
         col = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 0)
-        global_row = d_blk * mc + col
-        mask = jnp.logical_and(global_row < d_lim, row < q_lim)
-        dists = jnp.where(mask, dists, SENTINEL_DIST)
+        live_cols = d_lim - d_blk * mc   # may exceed mc on interior chunks
+        dists = jnp.where(col < live_cols, dists, SENTINEL_DIST)
 
         # Threshold-gated top-k maintenance. A fixed k min-extraction passes
         # per tile makes the VPU — not the MXU — the bottleneck (~4% MFU in
@@ -106,8 +126,14 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
         # extraction removes per-query minima in ascending order, so
         # max_q min(cnt_q, k) passes per group are exact (not approximate)
         cnt = jnp.minimum(cnt, k)
+        # padded query rows (the slot tail of the bucket's last block) must
+        # never drive the extraction iteration count: zero their counts.
+        # Their scratch rows may fill with garbage candidates — harmless,
+        # the scatter after the kernel drops non-live slots.
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (qc, 1), 0)[:, 0]
+        cnt = jnp.where(qrow < q_lim, cnt, 0)
 
-        SUB = min(128, qc)
+        SUB = min(sub, qc)
         sub_lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, K_LANE), 1)
         sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, mc), 1)
         for g in range(qc // SUB):
@@ -155,7 +181,8 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
 
 @partial(
     jax.jit,
-    static_argnames=("k", "qc", "mc", "max_chunks", "compute_dtype", "interpret"),
+    static_argnames=("k", "qc", "mc", "max_chunks", "compute_dtype",
+                     "int8_queries", "extract_sub", "interpret"),
 )
 def pallas_probe_search(
     probe_buckets: jnp.ndarray,   # (Q, P) int32
@@ -167,12 +194,23 @@ def pallas_probe_search(
     mc: int = 512,
     max_chunks: int = 1,          # static ceil(max_bucket / mc)
     compute_dtype=jnp.bfloat16,
+    int8_queries: bool = False,
+    extract_sub: int = 64,        # extraction sub-group rows (8..128)
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for tpulmi.search._probe_search_impl backed by the
     fused Pallas kernel. Returns (dists (Q,k), ids (Q,k), max_slots).
 
-    Requires a store built with row_align % mc == 0 and d % 128 == 0."""
+    Requires a store built with row_align % mc == 0 and d % 128 == 0.
+
+    ``int8_queries`` (int8 stores only): symmetrically quantize the gathered
+    query tiles too, so the distance matmul runs int8 x int8 -> int32 on the
+    MXU at 2x the bf16 rate with no VMEM dequant of the data tile. The
+    query's positive per-query scale factors out of every per-query
+    comparison inside the kernel and is re-applied to the final top-k
+    distances here, so ranking is exact w.r.t. the quantized scores; the
+    ~0.5% query-quantization noise lands inside the rerank margin the int8
+    store already budgets for (SearchConfig.rerank)."""
     q, p = probe_buckets.shape
     n_slots = q * p
     n_cat = store.n_categories
@@ -197,6 +235,10 @@ def pallas_probe_search(
     if store.data_sorted.shape[0] % mc != 0:
         raise ValueError("store rows not a multiple of the data block; "
                          "build the store with row_align a multiple of mc")
+    if qc % min(extract_sub, qc) != 0:
+        raise ValueError(
+            f"qc={qc} must be divisible by extract_sub={extract_sub}"
+        )
 
     # ---- group slots by bucket, block-aligned: every query block belongs
     # to exactly one bucket ----
@@ -220,8 +262,18 @@ def pallas_probe_search(
 
     slot_order_aligned = jnp.full((s_align,), n_slots, jnp.int32).at[pos].set(order)
     q_idx = jnp.minimum(slot_order_aligned // p, q - 1)
-    qvecs = jnp.take(queries_search, q_idx, axis=0).astype(compute_dtype)
     quantized = store.is_quantized
+    int8q = bool(int8_queries) and quantized
+    qvecs = jnp.take(queries_search, q_idx, axis=0)
+    if int8q:
+        qf = qvecs.astype(jnp.float32)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-12)  # (s_align,)
+        qvecs = jnp.clip(
+            jnp.round(qf / q_scale[:, None] * 127.0), -127, 127
+        ).astype(jnp.int8)
+        q_scaled127 = q_scale / 127.0
+    else:
+        qvecs = qvecs.astype(compute_dtype)
     if quantized:
         if (mc // 128) % 8 != 0:
             raise ValueError(
@@ -285,7 +337,8 @@ def pallas_probe_search(
         ],
     )
     out_d, out_i = pl.pallas_call(
-        partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized),
+        partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
+                sub=extract_sub),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.float32),
@@ -298,6 +351,16 @@ def pallas_probe_search(
     neg_top, arg_top = jax.lax.top_k(-out_d, k)
     row_d = -neg_top
     row_i = jnp.take_along_axis(out_i, arg_top, axis=1)
+    if int8q:
+        # re-apply the per-query scale the kernel factored out:
+        # raw = 1 - int_dot*(rowscale/127); true = 1 - int_dot*(rowscale/127)
+        # * (qscale/127). Monotone per query, so the top-k picked above is
+        # already the right SET in the right order.
+        row_d = jnp.where(
+            row_i >= 0,
+            1.0 - (1.0 - row_d) * q_scaled127[:, None],
+            SENTINEL_DIST,
+        )
 
     slot_d = jnp.full((n_slots + 1, k), SENTINEL_DIST, jnp.float32)
     slot_i = jnp.full((n_slots + 1, k), -1, jnp.int32)

@@ -342,6 +342,7 @@ def make_search_program(
     pallas_qc: int = 256,
     pallas_mc: int = 512,
     pallas_max_chunks: int = 1,
+    pallas_int8_queries: bool = False,
     prune_after: int = 0,
     prune_eps: float = 0.0,
     probe_mass=None,
@@ -401,6 +402,7 @@ def make_search_program(
                 mc=pallas_mc,
                 max_chunks=pallas_max_chunks,
                 compute_dtype=compute_dtype or jnp.float32,
+                int8_queries=pallas_int8_queries,
             )
         if pruning:
             d1, i1, m1, rows1, nom1 = _probe_search_core(

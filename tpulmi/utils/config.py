@@ -90,6 +90,13 @@ class SearchConfig:
     # scales tiling and amortizes per-tile overheads.
     pallas_qc: int = 512   # query-block rows per kernel tile
     pallas_mc: int = 1024  # data-block rows per kernel tile
+    # int8 stores + pallas backend only: quantize the query tiles too and
+    # run the distance matmul int8 x int8 -> int32 on the MXU (2x the bf16
+    # rate on v5e, no VMEM dequant of the data tile). Ranking is exact
+    # w.r.t. the quantized scores (the per-query scale factors out); the
+    # ~0.5% query-quantization noise sits inside the margin the int8
+    # store's exact rerank already absorbs — keep `rerank` on with this.
+    int8_queries: bool = False
 
     # Quantized (int8) stores only: rerank the final candidates against a
     # host-resident full-precision corpus (when the index has one) to erase
