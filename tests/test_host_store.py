@@ -99,6 +99,28 @@ def test_layout_and_upload_overlap_matches_blocking(rng, store_dtype):
         np.testing.assert_array_equal(a_o.scales, a_b.scales)
 
 
+def test_overlap_path_actually_engages(rng, caplog):
+    """Regression: a NameError inside the uploader thread (a refactor once
+    dropped its `jnp` import) silently downgraded every overlapped upload
+    to the serial fallback — results identical, pipelining gone. The
+    overlap path must complete IN-STREAM, not via fallback."""
+    import logging
+
+    from tpulmi.hoststore import layout_and_upload
+
+    n, d, n_cat = 4000, 32, 5
+    pred = rng.integers(0, n_cat, size=n).astype(np.int32)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+
+    with caplog.at_level(logging.INFO, logger="tpulmi.hoststore"):
+        layout_and_upload(pred, data, n_cat, overlap=True, slab_rows=512,
+                          row_align=64, store_dtype="bfloat16",
+                          normalized=False, pad_rows=64)
+    messages = [r.getMessage() for r in caplog.records]
+    assert any("completed in-stream" in m for m in messages), messages
+    assert not any("unavailable" in m for m in messages), messages
+
+
 def test_slab_upload_serial_roundtrip(rng):
     """The serial slab-upload fallback (used for near-HBM stores where one
     whole-array device_put would host-OOM) lands the exact host bytes,

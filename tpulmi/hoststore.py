@@ -249,6 +249,7 @@ def layout_and_upload(
     import threading
 
     import jax
+    import jax.numpy as jnp
 
     # Above this, a single blocking device_put is unsafe on the remote
     # backend: the client stages multiple host-RAM copies of the whole
@@ -320,6 +321,7 @@ def layout_and_upload(
             raise
         th.join()
         if state["buf"] is not None:
+            log.info("overlapped store upload completed in-stream")
             return arrays, state["buf"]
         if "RESOURCE_EXHAUSTED" in str(state["err"]):
             # device OOM: a blocking device_put of the same array can only
