@@ -96,7 +96,12 @@ def main():
         inner=IndexConfig(
             n_categories=N_CAT_INNER, epochs=8, lr=0.003, model_type="MLP-5",
             batch_size=4096, seed=SEED,
-            # row_align must satisfy the Pallas kernel (mc=1024 for int8)
+            # row_align must satisfy the Pallas kernel data block (mc=1024
+            # for int8). NOT 2048: with the slimmed masks + 64-row
+            # extraction groups mc=1024 matches mc=2048 on the kbench 20M
+            # replica (21.6 vs 21.5 ms), and 2048-alignment pads the skewed
+            # 488-bucket store to 16.1 GB — the search program then
+            # RESOURCE_EXHAUSTs even at 2.5k-query batches (measured)
             row_align=1024,
         ),
     )
@@ -135,8 +140,14 @@ def main():
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
     def run_once(probes, bq):
+        # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
+        # query tiles (exact rerank absorbs the quantization noise);
+        # qc=192 reads each bucket's data once at the ~164-slot typical
+        # occupancy with the least padded-query compute (kbench 20M-shape
+        # replica: 20.7 ms vs 32.3 ms round-2 config, 0.489 of measured
+        # HBM bandwidth)
         scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=bq,
-                            pallas_qc=256)
+                            pallas_qc=192, pallas_mc=1024, int8_queries=True)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg)  # warmup/compile
         start = time.perf_counter()
@@ -209,9 +220,9 @@ def main():
         pb = np.asarray(jax.device_get(pb)).reshape(-1)
         slot_counts += np.bincount(pb, minlength=built.store.n_categories)
     counts = np.asarray(jax.device_get(built.store.counts))
-    # Pallas kernel tiles actually used by this config: qc=256, mc=1024
+    # Pallas kernel tiles actually used by this config: qc=192, mc=1024
     flops, bytes_hbm = probe_work_model(
-        slot_counts, counts, D_SEARCH, 256, 1024, 1)  # int8: 1 B/elem
+        slot_counts, counts, D_SEARCH, 192, 1024, 1)  # int8: 1 B/elem
 
     ok = recall >= RECALL_GATE
     result = {

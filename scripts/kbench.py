@@ -131,7 +131,8 @@ def main():
     results = {}
     outs = []
     configs = [(256, 512), (512, 512), (256, 1024), (512, 1024), (512, 2048),
-               (768, 1024), (256, 2048), (384, 2048), (128, 2048)]
+               (768, 1024), (256, 2048), (384, 2048), (128, 2048),
+               (192, 1024), (128, 1024)]
     elem = store.data_sorted.dtype.itemsize
     for qc, mc in configs:
         if align % mc:
