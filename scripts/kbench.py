@@ -133,6 +133,14 @@ def main():
     configs = [(256, 512), (512, 512), (256, 1024), (512, 1024), (512, 2048),
                (768, 1024), (256, 2048), (384, 2048), (128, 2048),
                (192, 1024), (128, 1024)]
+    # KB_CONFIGS="512x1024,192x1024" restricts the sweep (A/B runs, quick
+    # re-measures); --abq benches every selected config with int8 query
+    # tiles OFF and ON in one process (same session, same relay mood).
+    if os.environ.get("KB_CONFIGS"):
+        configs = [tuple(int(v) for v in c.split("x"))
+                   for c in os.environ["KB_CONFIGS"].split(",")]
+    q_variants = ([False, True] if "--abq" in args
+                  else ["--int8q" in args])
     elem = store.data_sorted.dtype.itemsize
     for qc, mc in configs:
         if align % mc:
@@ -145,30 +153,31 @@ def main():
             continue
         flops, bytes_hbm = work_model(store, probes, qc, mc)
 
-        def run(qc=qc, mc=mc):
-            return pallas_probe_search(
-                probes, queries, store, k=K, qc=qc, mc=mc,
-                max_chunks=-(-max_bucket // mc),
-                compute_dtype=jnp.bfloat16,
-                int8_queries="--int8q" in args,
-                extract_sub=int(os.environ.get("KB_SUB", 64)),
-            )
+        for int8q in q_variants:
+            def run(qc=qc, mc=mc, int8q=int8q):
+                return pallas_probe_search(
+                    probes, queries, store, k=K, qc=qc, mc=mc,
+                    max_chunks=-(-max_bucket // mc),
+                    compute_dtype=jnp.bfloat16,
+                    int8_queries=int8q,
+                    extract_sub=int(os.environ.get("KB_SUB", 64)),
+                )
 
-        try:
-            t = bench(run, outs)
-        except Exception as e:  # noqa: BLE001 - VMEM OOM etc: skip config
-            print(f"# {qc}/{mc} failed: {str(e)[:120]}", file=sys.stderr)
-            continue
-        results[f"pallas_qc{qc}_mc{mc}"] = {
-            "s": round(t, 4),
-            "tflops": round(flops / t / 1e12, 1),
-            "mfu": round(flops / t / PEAK_BF16, 3),
-            "hbm_frac": round(bytes_hbm / t / PEAK_HBM, 3),
-            "mfu_meas": round(flops / t / MEAS_BF16, 3),
-            "hbm_meas": round(bytes_hbm / t / MEAS_HBM, 3),
-        }
-        print(json.dumps({f"pallas_qc{qc}_mc{mc}": results[f"pallas_qc{qc}_mc{mc}"]}),
-              flush=True)
+            try:
+                t = bench(run, outs)
+            except Exception as e:  # noqa: BLE001 - VMEM OOM etc: skip config
+                print(f"# {qc}/{mc} failed: {str(e)[:120]}", file=sys.stderr)
+                continue
+            key = f"pallas_qc{qc}_mc{mc}" + ("_int8q" if int8q else "")
+            results[key] = {
+                "s": round(t, 4),
+                "tflops": round(flops / t / 1e12, 1),
+                "mfu": round(flops / t / PEAK_BF16, 3),
+                "hbm_frac": round(bytes_hbm / t / PEAK_HBM, 3),
+                "mfu_meas": round(flops / t / MEAS_BF16, 3),
+                "hbm_meas": round(bytes_hbm / t / MEAS_HBM, 3),
+            }
+            print(json.dumps({key: results[key]}), flush=True)
 
     if "--xla" in args:
         flops, bytes_hbm = work_model(store, probes, 512, 2048)
@@ -202,5 +211,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # hard-exit on BOTH paths: normal interpreter exit can hang in remote
+    # backend teardown (NOTES.md rule 4), and a failed axon register leaves
+    # an exception whose default teardown hangs the same way.
+    try:
+        main()
+    except BaseException:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        sys.stderr.flush()
+        os._exit(1)
     os._exit(0)
