@@ -74,6 +74,8 @@ def _ground_truth(ds, cache_dir=".bench_cache"):
 
 
 def main():
+    from tpulmi.utils.backend_retry import ensure_backend
+    ensure_backend()
     t_gen = time.perf_counter()
     ds = synthetic_dataset(
         n=N, n_queries=N_QUERIES, d_nav=D_NAV, d_search=D_SEARCH,
@@ -169,7 +171,14 @@ def main():
 
 
 if __name__ == "__main__":
-    code = main()
-    # Hard-exit: the remote-backend's atexit teardown can hang for minutes
-    # after the result is printed; nothing of value runs after this point.
+    # Hard-exit BOTH paths: the remote-backend's atexit teardown can hang
+    # for minutes after the result is printed — and equally after an
+    # uncaught exception, which would stall an unattended driver run.
+    try:
+        code = main()
+    except BaseException:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        sys.stderr.flush()
+        os._exit(1)
     os._exit(code)

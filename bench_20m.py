@@ -79,6 +79,8 @@ def _ground_truth(ds):
 
 
 def main():
+    from tpulmi.utils.backend_retry import ensure_backend
+    ensure_backend()
     t_gen = time.perf_counter()
     ds = synthetic_dataset_big(
         n=N, n_queries=N_QUERIES, d_nav=D_NAV, d_search=D_SEARCH,
@@ -261,5 +263,12 @@ def main():
 
 
 if __name__ == "__main__":
-    code = main()
+    # hard-exit both paths: remote-backend teardown hangs after exceptions
+    try:
+        code = main()
+    except BaseException:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        sys.stderr.flush()
+        os._exit(1)
     os._exit(code)
