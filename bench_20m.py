@@ -135,13 +135,16 @@ def main():
     q_nav = jax.device_put(jnp.asarray(ds["queries_nav"]))
     q_search = jax.device_put(jnp.asarray(ds["queries_search"]))
     jax.device_get(q_search[-1, :1])
+    # host-side query mirror: the rerank reads queries from RAM instead of
+    # downloading 30 MB from device per search (dominant at relay rates)
+    q_host = np.ascontiguousarray(ds["queries_search"], np.float32)
 
     # query batching bounds the device working set (the kernel's slot
     # buffers are dominated by the n_cat*qc alignment term, so one
     # 10k-query dispatch costs barely more memory than four 2.5k ones and
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
-    def run_once(probes, bq):
+    def run_once(probes, bq, rerank_dtype="float32"):
         # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
         # query tiles (exact rerank absorbs the quantization noise);
         # qc=192 reads each bucket's data once at the ~164-slot typical
@@ -149,12 +152,15 @@ def main():
         # replica: 20.7 ms vs 32.3 ms round-2 config, 0.489 of measured
         # HBM bandwidth)
         scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=bq,
-                            pallas_qc=192, pallas_mc=1024, int8_queries=True)
+                            pallas_qc=192, pallas_mc=1024, int8_queries=True,
+                            rerank_dtype=rerank_dtype)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
-                  search_config=scfg)  # warmup/compile
+                  search_config=scfg,
+                  queries_search_host=q_host)  # warmup/compile
         start = time.perf_counter()
         dists, ids = hi.search(q_nav, q_search, n_buckets=probes, k=K,
-                               search_config=scfg)
+                               search_config=scfg,
+                               queries_search_host=q_host)
         t = time.perf_counter() - start
         recall = float(np.mean([
             len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
@@ -205,6 +211,19 @@ def main():
         if not sweep_raw:
             raise RuntimeError("no probe budget completed")
         probes_used, t_search, recall = sweep_raw[-1]
+    # f16 rerank shadow: halves the single-core candidate-gather bytes for
+    # ~4e-4 distance error (an order below the int8 error the rerank
+    # erases) — adopt when it keeps the gate and wins time
+    rerank_dtype_used = "float32"
+    try:
+        t16, r16 = run_once(probes_used, batch_q["bq"],
+                            rerank_dtype="float16")
+        print(f"# rerank_f16: {t16:.3f}s recall {r16:.4f}", file=sys.stderr,
+              flush=True)
+        if r16 >= RECALL_GATE and t16 < t_search:
+            t_search, recall, rerank_dtype_used = t16, r16, "float16"
+    except Exception as e:  # the 31 GB f16 shadow is a host-RAM gamble
+        print(f"# rerank_f16 failed: {e}", file=sys.stderr, flush=True)
     qps = N_QUERIES / t_search
 
     # ---- probe-phase work model vs the MEASURED chip ceilings
@@ -246,6 +265,7 @@ def main():
         "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
         "n_rows": N,
         "store": "int8+rerank",
+        "rerank_dtype": rerank_dtype_used,
         "ref_search_s_10M": REF_SEARCH_S,
         "ref_build_s_10M": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),

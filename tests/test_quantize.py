@@ -144,3 +144,72 @@ def test_index_quantize_and_rerank(rng):
                         search_config=SearchConfig(
                             k=k, n_buckets=c, backend="xla", rerank=False))
     assert np.abs(d_nr - np.asarray(want_d)).max() < 5e-3
+
+
+def test_rerank_host_mirror_and_f16(rng, monkeypatch):
+    """The rerank's host-query mirror path must (a) be used when the caller
+    passes numpy queries or an explicit mirror, avoiding the device
+    download, and (b) produce identical results; rerank_dtype=float16
+    gathers from the cached f16 shadow with near-identical top-k."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    n, d, c, q, k = 4000, 64, 12, 48, 10
+    data = _unit(rng, n, d)
+    queries = _unit(rng, q, d)
+    li = LearnedIndex(IndexConfig(
+        n_categories=c, epochs=4, lr=0.003, batch_size=512, row_align=1,
+    ))
+    li.build(data, data)
+    li.quantize(host_corpus=data, normalized=True)
+    scfg = SearchConfig(k=k, n_buckets=c, backend="xla")
+
+    seen = []
+    orig = LearnedIndex._rerank_host
+
+    def spy(self, dists, ids, qs, k, host_queries=None,
+            rerank_dtype="float32"):
+        seen.append((host_queries is not None, rerank_dtype))
+        return orig(self, dists, ids, qs, k, host_queries=host_queries,
+                    rerank_dtype=rerank_dtype)
+
+    monkeypatch.setattr(LearnedIndex, "_rerank_host", spy)
+
+    import jax.numpy as jnp
+    d_dev, i_dev = li.search(jnp.asarray(queries), jnp.asarray(queries),
+                             n_buckets=c, k=k, search_config=scfg)
+    assert seen[-1] == (False, "float32")  # device arrays: no mirror
+
+    # numpy queries: mirror captured automatically
+    d_np, i_np = li.search(queries, queries, n_buckets=c, k=k,
+                           search_config=scfg)
+    assert seen[-1][0] is True
+    np.testing.assert_array_equal(i_np, i_dev)
+    np.testing.assert_allclose(d_np, d_dev, atol=1e-6)
+
+    # explicit mirror alongside device arrays (the bench pattern)
+    d_m, i_m = li.search(jnp.asarray(queries), jnp.asarray(queries),
+                         n_buckets=c, k=k, search_config=scfg,
+                         queries_search_host=queries)
+    assert seen[-1][0] is True
+    np.testing.assert_array_equal(i_m, i_dev)
+
+    # f16 shadow: near-identical ranking, tiny distance error, cached
+    scfg16 = SearchConfig(k=k, n_buckets=c, backend="xla",
+                          rerank_dtype="float16")
+    d_16, i_16 = li.search(queries, queries, n_buckets=c, k=k,
+                           search_config=scfg16)
+    overlap = np.mean([
+        len(set(i_16[i]) & set(i_dev[i])) / k for i in range(q)
+    ])
+    assert overlap > 0.99
+    assert np.abs(d_16 - d_dev).max() < 2e-3
+    assert li._rerank_shadow[0] is data
+    shadow_before = li._rerank_shadow[1]
+    li.search(queries, queries, n_buckets=c, k=k, search_config=scfg16)
+    assert li._rerank_shadow[1] is shadow_before  # cached, not rebuilt
+
+    # attaching a different corpus invalidates the shadow
+    li.attach_host_corpus(np.array(data), normalized=True)
+    li.search(queries, queries, n_buckets=c, k=k, search_config=scfg16)
+    assert li._rerank_shadow[1] is not shadow_before

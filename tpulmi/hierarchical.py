@@ -506,6 +506,7 @@ class HierarchicalIndex(LearnedIndex):
         k: int = 10,
         n_groups: Optional[int] = None,
         search_config=None,
+        queries_search_host=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Probe the globally top-scored buckets under the joint router.
 
@@ -532,6 +533,7 @@ class HierarchicalIndex(LearnedIndex):
         return super().search(
             queries_nav, queries_search, n_buckets=n_buckets, k=k,
             search_config=search_config,
+            queries_search_host=queries_search_host,
         )
 
     # ------------------------------------------------------------ checkpoint

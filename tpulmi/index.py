@@ -514,17 +514,38 @@ class LearnedIndex:
         if host_corpus is not None:
             self._host_corpus = (host_corpus, normalized)
 
-    def _rerank_host(self, dists, ids, queries_search, k: int):
+    def _rerank_host(self, dists, ids, queries_search, k: int,
+                     host_queries=None, rerank_dtype: str = "float32"):
         """Exact top-k over the quantized candidates: gather the candidate
         rows from the host corpus, recompute full-precision cosine
-        distances, reorder, truncate to k. ids are 0-based, -1 = empty."""
+        distances, reorder, truncate to k. ids are 0-based, -1 = empty.
+
+        ``host_queries``: host-side mirror of ``queries_search``. Without
+        it the queries are fetched from device — on the relay backend that
+        download (30 MB at 10k queries) can dominate the whole rerank.
+
+        ``rerank_dtype="float16"`` gathers from a cached f16 shadow of the
+        corpus: half the random-gather bytes on the (single-core) host for
+        ~4e-4 relative distance error — an order of magnitude below the
+        int8 error the rerank exists to erase."""
         corpus, normalized = self._host_corpus
         q, k_eff = ids.shape
         d = int(np.asarray(corpus[:1]).shape[1])
-        qs = np.array(jax.device_get(queries_search), np.float32)  # writable copy
+        if host_queries is not None:
+            qs = np.array(host_queries, np.float32)  # writable copy
+        else:
+            qs = np.array(jax.device_get(queries_search), np.float32)
         qs /= np.maximum(np.linalg.norm(qs, axis=1, keepdims=True), 1e-12)
+        if rerank_dtype == "float16":
+            shadow = getattr(self, "_rerank_shadow", None)
+            if shadow is None or shadow[0] is not corpus:
+                shadow = (corpus, np.asarray(corpus, np.float16))
+                self._rerank_shadow = shadow
+            gather_src = shadow[1]
+        else:
+            gather_src = corpus
         rows = np.asarray(
-            corpus[np.maximum(ids, 0).reshape(-1)], np.float32
+            gather_src[np.maximum(ids, 0).reshape(-1)], np.float32
         ).reshape(q, k_eff, d)
         if not normalized:
             rows /= np.maximum(
@@ -658,7 +679,8 @@ class LearnedIndex:
         self._sharded_programs = {}
 
     def _search_sharded(self, queries_nav, queries_search, n_buckets: int,
-                        k: int, scfg) -> Tuple[np.ndarray, np.ndarray]:
+                        k: int, scfg,
+                        host_queries=None) -> Tuple[np.ndarray, np.ndarray]:
         from tpulmi.parallel.sharded import make_sharded_search_program
 
         built = self.built
@@ -711,7 +733,8 @@ class LearnedIndex:
             qpb_pad = size_class(int(max_slots))
         if rerank:
             dists, ids = self._rerank_host(
-                np.asarray(dists), np.asarray(ids), queries_search, k
+                np.asarray(dists), np.asarray(ids), queries_search, k,
+                host_queries=host_queries, rerank_dtype=scfg.rerank_dtype,
             )
         ids = np.where(ids < 0, 0, ids)
         return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
@@ -724,11 +747,17 @@ class LearnedIndex:
         n_buckets: int = 4,
         k: int = 10,
         search_config: Optional[SearchConfig] = None,
+        queries_search_host=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """k-NN search probing the top-`n_buckets` routed buckets per query.
         Returns (dists, anns) with **1-based** `anns`, shapes (Q, k) — the
         reference's `search` contract (`search/li/LearnedIndex.py:22-101`).
-        `n_buckets=1` is the reference's `search_single` fast path."""
+        `n_buckets=1` is the reference's `search_single` fast path.
+
+        ``queries_search_host``: optional host-side (numpy) mirror of
+        ``queries_search``, used by the quantized-store rerank so it never
+        downloads the query batch from device. When ``queries_search`` is
+        already a host array the mirror is captured automatically."""
         if self.built is None:
             raise ValueError("Index is not built, call `build` first.")
         scfg = search_config or SearchConfig(k=k, n_buckets=n_buckets)
@@ -737,6 +766,9 @@ class LearnedIndex:
         queries_nav = jnp.asarray(queries_nav, jnp.float32)
         if queries_search is None:
             queries_search = queries_nav
+        if queries_search_host is None and isinstance(
+                queries_search, np.ndarray):
+            queries_search_host = queries_search
         queries_search = jnp.asarray(queries_search, jnp.float32)
 
         # very large query sets: split into fixed batches (bounds the device
@@ -749,7 +781,10 @@ class LearnedIndex:
             for lo in range(0, queries_nav.shape[0], bq):
                 parts.append(self.search(
                     queries_nav[lo:lo + bq], queries_search[lo:lo + bq],
-                    n_buckets=n_buckets, k=k, search_config=scfg))
+                    n_buckets=n_buckets, k=k, search_config=scfg,
+                    queries_search_host=(
+                        queries_search_host[lo:lo + bq]
+                        if queries_search_host is not None else None)))
                 if getattr(self, "last_scan_rows", None) is not None:
                     any_stats = True
                     scan_tot += self.last_scan_rows
@@ -762,7 +797,8 @@ class LearnedIndex:
         n_buckets = min(n_buckets, built.store.n_categories)
         if self._sharded is not None:
             return self._search_sharded(
-                queries_nav, queries_search, n_buckets, k, scfg
+                queries_nav, queries_search, n_buckets, k, scfg,
+                host_queries=queries_search_host,
             )
         compute_dtype = (
             jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None
@@ -870,7 +906,9 @@ class LearnedIndex:
             qpb_pad = size_class(int(max_slots))  # overflow: re-pad and rerun
         if rerank:
             dists, ids = self._rerank_host(
-                np.asarray(dists), np.asarray(ids), queries_search, k
+                np.asarray(dists), np.asarray(ids), queries_search, k,
+                host_queries=queries_search_host,
+                rerank_dtype=scfg.rerank_dtype,
             )
         # empty result slots (id -1) keep the sentinel distance; clamp the id
         # into range the way the reference edge-pads sub-k buckets

@@ -105,6 +105,10 @@ class SearchConfig:
     # quantized scores narrowly misranked.
     rerank: bool = True
     rerank_extra: int = 10
+    # "float16" gathers candidates from a cached f16 shadow of the host
+    # corpus: half the (single-core) random-gather bytes for ~4e-4 relative
+    # distance error — far below the int8 error the rerank erases.
+    rerank_dtype: str = "float32"
 
     # Threshold pruning (XLA backend; needs `LearnedIndex.compute_bounds()`
     # on the store first): probe ranks beyond `prune_after` skip every
