@@ -541,26 +541,37 @@ class LearnedIndex:
             if shadow is None or shadow[0] is not corpus:
                 shadow = (corpus, np.asarray(corpus, np.float16))
                 self._rerank_shadow = shadow
-            gather_src = shadow[1]
+            # keep the gathered rows in f16: numpy's f16->f32 astype of the
+            # 600 MB candidate block costs MORE than the halved gather
+            # saves (measured 0.6 s vs 0.16 s at 10k x 20 x 768); torch's
+            # CPU half bmm accumulates in f32 (measured max err 6e-5, 20x
+            # below the int8 error), so no upcast is needed on that path
+            rows = shadow[1][np.maximum(ids, 0).reshape(-1)].reshape(
+                q, k_eff, d)
         else:
-            gather_src = corpus
-        rows = np.asarray(
-            gather_src[np.maximum(ids, 0).reshape(-1)], np.float32
-        ).reshape(q, k_eff, d)
+            rows = np.asarray(
+                corpus[np.maximum(ids, 0).reshape(-1)], np.float32
+            ).reshape(q, k_eff, d)
+        if not normalized and rows.dtype != np.float32:
+            rows = np.asarray(rows, np.float32)
         if not normalized:
             rows /= np.maximum(
                 np.linalg.norm(rows, axis=2, keepdims=True), 1e-12
             )
         try:
-            # torch's batched matmul is multithreaded; numpy's loops GEMVs
-            # on one core (~4x slower at 10k x 20 x 768)
+            # torch's batched matmul beats numpy's per-batch GEMV loop on
+            # this path (and is the only fast f16 route on the host)
             import torch
 
+            qcol = (torch.from_numpy(qs.astype(rows.dtype)).unsqueeze(2)
+                    if rows.dtype == np.float16
+                    else torch.from_numpy(qs).unsqueeze(2))
             sims = torch.bmm(
-                torch.from_numpy(rows),
-                torch.from_numpy(qs).unsqueeze(2),
-            ).numpy()[:, :, 0]
+                torch.from_numpy(rows), qcol,
+            ).float().numpy()[:, :, 0]
         except ImportError:
+            if rows.dtype != np.float32:
+                rows = np.asarray(rows, np.float32)
             sims = np.matmul(rows, qs[:, :, None])[:, :, 0]
         exact = 1.0 - sims
         from tpulmi.ops.distance import SENTINEL_DIST
