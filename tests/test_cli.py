@@ -101,3 +101,22 @@ def test_cli_calibrate_prune_probe_mass(tmp_path):
     import glob
     files = glob.glob(str(tmp_path) + "/**/*.h5", recursive=True)
     assert len(files) == 1
+
+
+def test_cli_int8_f16_rerank(tmp_path):
+    """CLI end-to-end with an int8 store reranked from the f16 shadow
+    corpus (--rerank-dtype float16)."""
+    main([
+        "--synthetic", "6000", "--n-categories", "8", "--epochs", "3",
+        "-bp", "25", "--size", "100K", "--k", "5",
+        "--store-dtype", "int8", "--rerank-dtype", "float16",
+        "--result-dir", str(tmp_path / "r"),
+    ])
+    import glob
+
+    import h5py
+
+    files = glob.glob(str(tmp_path / "r" / "**" / "*.h5"), recursive=True)
+    assert len(files) == 1
+    with h5py.File(files[0], "r") as f:
+        assert f["knns"][:].min() >= 1

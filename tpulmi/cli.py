@@ -62,6 +62,7 @@ def run(
     probe_mass: float = 0.0,
     calibrate: bool = False,
     prune: bool = False,
+    rerank_dtype: str = "float32",
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
@@ -162,13 +163,14 @@ def run(
         log.info("index checkpoint saved to %s", path)
 
     scfg = None
-    if probe_mass or prune:
+    if probe_mass or prune or rerank_dtype != "float32":
         from tpulmi.utils.config import SearchConfig
 
         scfg = SearchConfig(
             k=k,
             probe_mass=probe_mass or None,
             prune_after=1 if prune else 0,
+            rerank_dtype=rerank_dtype,
         )
     for n_buckets in n_buckets_list:
         start = time.perf_counter()
@@ -184,10 +186,10 @@ def run(
         _store(result_dir, kind, size, identifier, "Learned-index",
                dists, nns, build_t, search_t)
         if synthetic:
+            from tpulmi.evaluate import recall_at_k
+
             _, gt, _ = Baseline().search(queries_search, data_search, k=k)
-            recall = np.mean([
-                len(set(nns[i]) & set(gt[i])) / k for i in range(nns.shape[0])
-            ])
+            recall = recall_at_k(nns, gt, k=k)
             log.info("recall@%d vs exact oracle: %.4f", k, recall)
 
 
@@ -255,6 +257,11 @@ def main(argv=None):
     parser.add_argument("--prune", default=False, type=_str2bool,
                         help="Compute per-bucket bounds and enable the "
                              "exact threshold tile-skip")
+    parser.add_argument("--rerank-dtype", default="float32",
+                        choices=["float32", "float16"],
+                        help="Precision of the exact host rerank for int8 "
+                             "stores (float16 halves the gather bytes; "
+                             "f32-accumulated half bmm, ~6e-5 max error)")
     args = parser.parse_args(argv)
 
     run(
@@ -280,6 +287,7 @@ def main(argv=None):
         probe_mass=args.probe_mass,
         calibrate=args.calibrate,
         prune=args.prune,
+        rerank_dtype=args.rerank_dtype,
     )
 
 
