@@ -200,3 +200,32 @@ def test_calibrate_outer_weight(synthetic_small, tmp_path):
     hi.save(tmp_path / "ckpt")
     restored = HierarchicalIndex.load(tmp_path / "ckpt")
     assert restored.built.classifier.model.outer_weight == 0.6
+
+
+def test_set_outer_weight_refreshes_predict(built_hier, synthetic_small):
+    """`JointRouterClassifier.predict` must honor the CURRENT outer weight:
+    its jitted scan takes `self` as a static (identity-keyed) argument, so
+    a trace-time read of `model.outer_weight` would silently pin whatever
+    weight was live at the first call (regression)."""
+    import jax.numpy as jnp
+
+    clf = built_hier.built.classifier
+    X = synthetic_small["data_nav"][:256]
+    w0 = clf.model.outer_weight
+    clf.predict(X)  # populate the jit cache at the current weight
+    try:
+        flipped = False
+        for w in (0.0, 50.0):   # inner-only, then outer-dominated routing
+            built_hier.set_outer_weight(w)
+            pred = np.asarray(clf.predict(X))
+            logits = clf.model.apply(
+                {"params": clf.params}, jnp.asarray(X, jnp.float32))
+            expect = np.argmax(np.asarray(logits), axis=1)
+            np.testing.assert_array_equal(pred, expect)
+            built_hier.set_outer_weight(w0)
+            flipped |= not np.array_equal(np.asarray(clf.predict(X)), pred)
+        # at least one of the extreme weights must actually move some
+        # assignments, or the equalities above prove nothing about staleness
+        assert flipped
+    finally:
+        built_hier.set_outer_weight(w0)

@@ -191,6 +191,35 @@ def test_probe_mass_truncation_saves_scan_work(clustered_index):
     assert recall > 0.95
 
 
+def test_probe_mass_sharded_ragged_shards():
+    """n_categories % n_shards != 0: the last shard's local bucket window is
+    ragged (hi - lo < cat_pad). Truncation dump ids must fall outside EVERY
+    shard's local range — a dump id equal to the global bucket count lands
+    INSIDE the ragged last shard's padded window, turning every truncated
+    slot into a live (empty-bucket) slot and inflating that shard's slot
+    counts/qpb_pad (regression: sharded.py used logits.shape[1] as dump)."""
+    from tpulmi.parallel.mesh import make_mesh
+
+    nav, data, qn, qs = _tight_clusters(seed=17, n_clusters=10)
+    li = LearnedIndex(IndexConfig(
+        n_categories=10, epochs=8, lr=0.003, batch_size=512, row_align=1,
+    ))
+    li.build(nav, data)
+    trunc = SearchConfig(k=10, backend="xla", compute_dtype="float32",
+                         probe_mass=0.9)
+    d0, i0 = li.search(qn, qs, n_buckets=8, k=10, search_config=trunc)
+    q = len(qn)
+    li.shard(make_mesh(4, ("buckets",)))  # 10 cats / 4 shards: cat_pad=3,
+    try:                                  # last shard owns one real bucket
+        d1, i1 = li.search(qn, qs, n_buckets=8, k=10, search_config=trunc)
+    finally:
+        li.unshard()
+    np.testing.assert_allclose(d1, d0, atol=1e-6)
+    # dumped slots must not count toward any shard's slot load: the sharded
+    # program's validated pad can never exceed the flat program's
+    assert li._qpb_pads[("sharded", q, 8)] <= li._qpb_pads[(q, 8)]
+
+
 def test_probe_mass_sharded_matches_flat(clustered_index):
     """The sharded program's truncation (dump ids dropped by the shard
     remap) must produce the flat program's exact results."""
@@ -206,3 +235,24 @@ def test_probe_mass_sharded_matches_flat(clustered_index):
     finally:
         li.unshard()
     np.testing.assert_allclose(d1, d0, atol=1e-6)
+
+
+def test_sharded_batched_search_clears_stale_scan_stats(clustered_index):
+    """The sharded path keeps no scan counters; after a flat pruned search
+    set them, a batched sharded search must report None — not the previous
+    flat totals summed once per batch (regression)."""
+    from tpulmi.parallel.mesh import make_mesh
+
+    li, qn, qs = clustered_index
+    pruned = SearchConfig(k=10, backend="xla", compute_dtype="float32",
+                          prune_after=1)
+    li.search(qn, qs, n_buckets=8, k=10, search_config=pruned)
+    assert li.last_scan_rows is not None
+    li.shard(make_mesh(4, ("buckets",)))
+    try:
+        batched = SearchConfig(k=10, backend="xla", compute_dtype="float32",
+                               batch_queries=20)
+        li.search(qn, qs, n_buckets=8, k=10, search_config=batched)
+    finally:
+        li.unshard()
+    assert li.last_scan_rows is None and li.last_nominal_rows is None

@@ -166,10 +166,18 @@ def run(
     if probe_mass or prune or rerank_dtype != "float32":
         from tpulmi.utils.config import SearchConfig
 
+        # Threshold pruning lives on the XLA pipeline only; with the default
+        # backend="auto" a TPU run would pick the Pallas kernel and silently
+        # ignore prune_after after paying the compute_bounds() scan — pin
+        # the backend so --prune actually prunes everywhere.
+        if prune:
+            log.info("--prune pins backend=xla (the Pallas kernel has no "
+                     "threshold-prune path)")
         scfg = SearchConfig(
             k=k,
             probe_mass=probe_mass or None,
             prune_after=1 if prune else 0,
+            backend="xla" if prune else "auto",
             rerank_dtype=rerank_dtype,
         )
     for n_buckets in n_buckets_list:

@@ -128,22 +128,27 @@ class JointRouterClassifier:
         self.model_type = model_type
 
     @partial(jax.jit, static_argnames=("self", "chunk"))
-    def _predict_scan(self, params, X, chunk: int):
+    def _predict_scan(self, params, X, w, chunk: int):
         """One program for the whole corpus: `lax.scan` over fixed-size
         chunks (the `BucketClassifier._predict_chunked` pattern). A Python
         chunk loop here cost one dispatch round-trip per 131k rows — ~153
         round-trips x 30-65 ms of pure latency at 20M on the remote
-        backend."""
+        backend. The outer weight `w` is a TRACED argument: `self` is a
+        static (identity-keyed) jit argument, so baking
+        `self.model.outer_weight` in at trace time would silently pin the
+        weight that was live at first call even after
+        `set_outer_weight`/calibration changes it."""
         n, d = X.shape
         n_chunks = (n + chunk - 1) // chunk
         X_pad = jnp.pad(X, ((0, n_chunks * chunk - n), (0, 0)))
 
         def body(_, i):
             block = jax.lax.dynamic_slice(X_pad, (i * chunk, 0), (chunk, d))
-            logits = self.model.apply(
+            lo, li = self.model.components(
                 {"params": params}, block.astype(jnp.float32)
             )
-            return None, jnp.argmax(logits, axis=1).astype(jnp.int32)
+            joint = (w * lo[:, :, None] + li).reshape(block.shape[0], -1)
+            return None, jnp.argmax(joint, axis=1).astype(jnp.int32)
 
         _, out = jax.lax.scan(body, None, jnp.arange(n_chunks))
         return out.reshape(-1)[:n]
@@ -154,7 +159,8 @@ class JointRouterClassifier:
         full-size f32 copy materializes for large corpora."""
         X = jnp.asarray(X)
         chunk = min(chunk, max(128, int(X.shape[0])))
-        return self._predict_scan(self.params, X, chunk)
+        return self._predict_scan(
+            self.params, X, jnp.float32(self.model.outer_weight), chunk)
 
     # hashable-static support so the jitted method can take `self` static
     def __hash__(self):

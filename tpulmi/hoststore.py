@@ -192,30 +192,47 @@ def layout_host_store(
 
 
 
-def _slab_upload_serial(store_host, slab_rows: int):
-    """Blocking slab-by-slab upload of a host array into a device buffer
-    (the same donated `dynamic_update_slice` loop the overlapped uploader
-    runs, inline). Bounded host staging — never more than one slab in
-    flight — and a true barrier per slab; the safe fallback for near-HBM
-    arrays where one whole-array `device_put` stages multiple host copies
-    and OOMs the host (NOTES.md)."""
+def _slab_write(buf, host_rows, slab_rows: int, device=None):
+    """Core slab loop shared by the single-device upload fallback and the
+    per-shard uploader (`parallel.shard_store_from_host`): a donated
+    `dynamic_update_slice` of ≤`slab_rows` host rows at a time into `buf`,
+    with a true `device_get` barrier per slab — bounded host staging and
+    synchronized streams (NOTES.md rules 7/8; a whole-array `device_put`
+    of a near-HBM array stages multiple host copies and OOMs the host).
+
+    `buf` is the caller-allocated destination, either (n, d) or the
+    per-shard (1, rows_pad, d) layout (one extra leading singleton axis);
+    `host_rows` lands at row offset 0. Returns the final buffer."""
     import jax
     import jax.numpy as jnp
 
     slab_rows = max(int(slab_rows), 1)
+    lead = buf.ndim == host_rows.ndim + 1
+    idx = ((lambda lo: (jnp.int32(0), lo, jnp.int32(0))) if lead
+           else (lambda lo: (lo, jnp.int32(0))))
     put = jax.jit(
-        lambda b, s, lo: jax.lax.dynamic_update_slice(
-            b, s, (lo, jnp.int32(0))),
+        lambda b, s, lo: jax.lax.dynamic_update_slice(b, s, idx(lo)),
         donate_argnums=0,
     )
-    buf = jnp.zeros(store_host.shape, jnp.asarray(store_host[:1]).dtype)
-    for lo in range(0, store_host.shape[0], slab_rows):
-        hi = min(lo + slab_rows, store_host.shape[0])
-        slab = jax.device_put(store_host[lo:hi])
+    n = host_rows.shape[0]
+    for lo in range(0, n, slab_rows):
+        hi = min(lo + slab_rows, n)
+        slab = host_rows[lo:hi][None] if lead else host_rows[lo:hi]
+        slab = jax.device_put(slab, device)
         buf = put(buf, slab, jnp.int32(lo))
         del slab
-        jax.device_get(buf[-1, :1])
+        jax.device_get(buf[..., -1, :1])
     return buf
+
+
+def _slab_upload_serial(store_host, slab_rows: int):
+    """Blocking slab-by-slab upload of a host array into a device buffer
+    (the same donated `dynamic_update_slice` loop the overlapped uploader
+    runs, inline); see `_slab_write` for the staging/barrier contract."""
+    import jax.numpy as jnp
+
+    buf = jnp.zeros(store_host.shape, jnp.asarray(store_host[:1]).dtype)
+    return _slab_write(buf, store_host, slab_rows)
 
 
 def layout_and_upload(

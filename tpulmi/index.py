@@ -773,6 +773,10 @@ class LearnedIndex:
             raise ValueError("Index is not built, call `build` first.")
         scfg = search_config or SearchConfig(k=k, n_buckets=n_buckets)
         built = self.built
+        # Scan counters are per-call state: reset up front so paths that
+        # never count (sharded, pallas) can't leak a previous flat pruned
+        # search's totals — the batched loop below SUMS whatever it reads.
+        self.last_scan_rows = self.last_nominal_rows = None
 
         queries_nav = jnp.asarray(queries_nav, jnp.float32)
         if queries_search is None:
@@ -869,7 +873,6 @@ class LearnedIndex:
             prune_eps = 5e-3   # bf16 matmul inputs round sims by ~2e-3
         else:
             prune_eps = 1e-4
-        self.last_scan_rows = self.last_nominal_rows = None
 
         pallas_max_chunks = max(-(-built.max_bucket // scfg.pallas_mc), 1)
         while True:

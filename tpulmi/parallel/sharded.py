@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tpulmi.buckets import BucketStore
-from tpulmi.search import _probe_search_impl, size_class
+from tpulmi.search import _probe_search_impl, route_probes, size_class
 
 
 @jax.tree_util.register_dataclass
@@ -190,26 +190,17 @@ def shard_store_from_host(arrays, mesh: Mesh,
         data_global = jax.make_array_from_callback(
             (n_shards, rows_pad, d), sharding, data_cb)
     else:
-        put = jax.jit(
-            lambda b, sl, lo: jax.lax.dynamic_update_slice(
-                b, sl, (jnp.int32(0), lo, jnp.int32(0))),
-            donate_argnums=0,
-        )
+        from tpulmi.hoststore import _slab_write
+
         local_bufs = []
         for s, dev in enumerate(devices):
             _, _, row_lo, row_hi = bounds[s]
             buf = _alloc_on_device((1, rows_pad, d), dtype, dev)
-            for lo_r in range(row_lo, row_hi, slab_rows):
-                hi_r = min(lo_r + slab_rows, row_hi)
-                slab = jax.device_put(
-                    arrays.data_sorted[lo_r:hi_r][None], dev)
-                buf = put(buf, slab, jnp.int32(lo_r - row_lo))
-                del slab
-                # true barrier per slab: unsynchronized streams pile host
-                # copies and can wedge remote transfer backends (NOTES.md
-                # rules 7/8)
-                jax.device_get(buf[0, -1, :1])
-            local_bufs.append(buf)
+            # shared donated slab loop (barrier per slab — NOTES.md 7/8);
+            # the host row-slice is a view, so no host copy materializes
+            local_bufs.append(_slab_write(
+                buf, arrays.data_sorted[row_lo:row_hi], slab_rows,
+                device=dev))
         data_global = jax.make_array_from_single_device_arrays(
             (n_shards, rows_pad, d), sharding, local_bufs)
 
@@ -407,9 +398,10 @@ def make_sharded_search_program(
     (returns (dists, ids, max_slots) so the caller can validate its static
     qpb_pad without an extra round trip). With `quantized` the per-shard
     int8 codes + scales are searched natively. ``probe_mass`` truncates
-    each query's probes at the routed-mass crossing; dump ids equal the
-    global bucket count, which falls outside every shard's local range and
-    is dropped by the same remap that drops non-local probes."""
+    each query's probes at the routed-mass crossing (`route_probes`); dump
+    ids are -1, which falls outside every shard's local range — including a
+    ragged last shard's — and is dropped by the same remap that drops
+    non-local probes."""
     from tpulmi.ops.distance import l2_normalize
 
     axis = mesh.axis_names[0]
@@ -417,15 +409,12 @@ def make_sharded_search_program(
     def local_search(params, queries_nav, queries_search,
                      data_s, ids_s, offs, cnts, start, *scales_s):
         logits = model.apply({"params": params}, queries_nav)
-        if probe_mass is not None:
-            probs = jax.nn.softmax(logits, axis=-1)
-            p_top, probes = jax.lax.top_k(probs, n_buckets)
-            cum = jnp.cumsum(p_top, axis=1)
-            probes = jnp.where((cum - p_top) < probe_mass, probes,
-                               logits.shape[1])
-        else:
-            _, probes = jax.lax.top_k(logits, n_buckets)
-        probes = probes.astype(jnp.int32)
+        # dump_id=-1: stays below every shard's local range, so the remap
+        # below sends truncated slots to the dropped bucket `cat_pad` on
+        # EVERY shard. (The global bucket count would land inside a ragged
+        # last shard's padded local range and count truncated slots live.)
+        probes = route_probes(logits, n_buckets, probe_mass=probe_mass,
+                              dump_id=-1)
         qs = l2_normalize(queries_search.astype(jnp.float32))
         local = probes - start[0, 0]
         local = jnp.where((local >= 0) & (local < cat_pad), local, cat_pad)

@@ -74,8 +74,9 @@ def _probe_search_core(
     is subtracted from the bound to absorb compute-dtype rounding, so
     pruned results are bit-identical to the unpruned pipeline.
 
-    Returns (dists, ids, max_slots, scanned_rows) where scanned_rows
-    counts store rows actually streamed (chunk-granular)."""
+    Returns (dists, ids, max_slots, scanned_rows, nominal_rows) where
+    scanned_rows counts store rows actually streamed (chunk-granular) and
+    nominal_rows counts the rows an unpruned scan would have streamed."""
     prune = thresholds is not None
     if prune and not store.has_bounds:
         raise ValueError("threshold pruning needs compute_bucket_bounds")
@@ -328,6 +329,35 @@ def _probe_search_pruned(
     )
 
 
+def route_probes(logits, n_buckets: int, *, probe_mass=None, dump_id=None):
+    """Rank buckets by routed probability and (optionally) truncate each
+    query's probe list at the ``probe_mass`` crossing: every rank up to and
+    including the one where cumulative routed mass first reaches the budget
+    is kept; later slots are replaced by ``dump_id``.
+
+    ``dump_id`` must fall outside every live bucket range the *caller's*
+    scan will see — the single-chip pipeline uses ``store.n_categories``
+    (segment ops drop out-of-range ids), while the sharded program uses
+    ``-1``: a global id that some shard legitimately owns (such as the
+    global bucket count, which lands INSIDE a ragged last shard's padded
+    local range) would turn every truncated slot into a live local slot and
+    inflate that shard's slot counts. One helper, one semantics — the probe
+    selection of `make_search_program` and `make_sharded_search_program`
+    must never diverge.
+
+    Returns (Q, n_buckets) int32 probe ids."""
+    if probe_mass is None:
+        _, probes = jax.lax.top_k(logits, n_buckets)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        p_top, probes = jax.lax.top_k(probs, n_buckets)
+        cum = jnp.cumsum(p_top, axis=1)
+        # keep every rank up to and including the mass crossing
+        keep = (cum - p_top) < probe_mass
+        probes = jnp.where(keep, probes, dump_id)
+    return probes.astype(jnp.int32)
+
+
 def make_search_program(
     model,
     *,
@@ -379,16 +409,8 @@ def make_search_program(
     @jax.jit
     def search_program(params, queries_nav, queries_search, store):
         logits = model.apply({"params": params}, queries_nav)
-        if truncating:
-            probs = jax.nn.softmax(logits, axis=-1)
-            p_top, probes = jax.lax.top_k(probs, n_buckets)
-            cum = jnp.cumsum(p_top, axis=1)
-            # keep every rank up to and including the mass crossing
-            keep = (cum - p_top) < probe_mass
-            probes = jnp.where(keep, probes, store.n_categories)
-        else:
-            _, probes = jax.lax.top_k(logits, n_buckets)
-        probes = probes.astype(jnp.int32)
+        probes = route_probes(logits, n_buckets, probe_mass=probe_mass,
+                              dump_id=store.n_categories)
         qs = l2_normalize(queries_search.astype(jnp.float32))
         if backend == "pallas":
             from tpulmi.ops.pallas_topk import pallas_probe_search
