@@ -95,6 +95,53 @@ def work_model(store, probes, qc, mc):
     )
 
 
+def _stream_time(store, qc, mc, int8q):
+    """Pure matmul stream at the kernel's exact tile shape and dtypes: scan
+    (qc,d)x(d,mc) over the store's blocks, nothing else. Mirrors each kernel
+    variant's MXU path — int8 x int8 -> int32 when int8q, VMEM-dequant bf16
+    for a quantized store otherwise, plain bf16 else. Returns (best seconds,
+    bytes streamed)."""
+    d = store.dim
+    rows = (int(store.data_sorted.shape[0]) // mc) * mc
+    data3 = store.data_sorted[:rows].reshape(-1, mc, d)
+    quantized = store.data_sorted.dtype == jnp.int8
+
+    # random q and a per-row MAX accumulator: a constant q (or a full sum,
+    # which factors through the contraction) could let XLA algebraically
+    # collapse the matmul into a matvec and fake the measurement
+    kq = jax.random.PRNGKey(7)
+    if int8q and quantized:
+        q = jax.random.randint(kq, (qc, d), -127, 128, jnp.int32).astype(
+            jnp.int8)
+
+        def body(acc, blk):
+            s = jax.lax.dot_general(
+                q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return jnp.maximum(acc, jnp.max(s, axis=1)), None
+
+        init = jnp.full((qc,), jnp.iinfo(jnp.int32).min, jnp.int32)
+    else:
+        q = jax.random.normal(kq, (qc, d), jnp.bfloat16)
+
+        def body(acc, blk):
+            b = blk.astype(jnp.bfloat16) if quantized else blk
+            s = jax.lax.dot_general(
+                q, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.maximum(acc, jnp.max(s, axis=1)), None
+
+        init = jnp.full((qc,), -jnp.inf, jnp.float32)
+
+    @jax.jit
+    def stream(data3):
+        acc, _ = jax.lax.scan(body, init, data3)
+        return acc
+
+    t = bench(lambda: (stream(data3),), [])
+    return t, rows * d * store.data_sorted.dtype.itemsize
+
+
 def bench(fn, out_holder):
     # warmup/compile
     out = fn()
@@ -177,6 +224,26 @@ def main():
                 "mfu_meas": round(flops / t / MEAS_BF16, 3),
                 "hbm_meas": round(bytes_hbm / t / MEAS_HBM, 3),
             }
+            if "--stream" in args:
+                # Shape-specific speed-of-light floor: a pure (qc,d)x(d,mc)
+                # matmul stream over the SAME store bytes and dtypes — the
+                # kernel minus top-k/masking/grid bookkeeping. Its achieved
+                # rate bounds what ANY correct probe kernel at this tiling
+                # can do (it is compute-floored below the HBM line when the
+                # per-tile matmul outweighs the per-tile DMA, exactly the
+                # qc>=192 int8 regime), so vs_floor = kernel rate / stream
+                # rate is the honest utilization number.
+                try:
+                    ts, stream_bytes = _stream_time(store, qc, mc, int8q)
+                    rate = stream_bytes / ts
+                    results[key]["stream_gbps"] = round(rate / 1e9, 1)
+                    results[key]["vs_floor"] = round(
+                        (bytes_hbm / t) / rate, 3)
+                    print(json.dumps({key: results[key]}), flush=True)
+                    continue
+                except Exception as e:  # noqa: BLE001
+                    print(f"# stream {qc}/{mc} failed: {str(e)[:120]}",
+                          file=sys.stderr)
             print(json.dumps({key: results[key]}), flush=True)
 
     if "--xla" in args:
