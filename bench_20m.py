@@ -48,12 +48,14 @@ N_CAT_INNER = 61        # 8 x 61 = 488 global buckets (~41k rows each)
 # containment (hierarchical.calibrate_outer_weight) targeting the
 # VERDICT goal of >=0.90 at <=24 probes, so the sweep starts lower.
 PROBE_SWEEP = (6, 8, 12, 16, 24, 32, 48)
-# NOTE on probe_mass: NOT used here. The calibrated joint score
-# (w·logP(g)+logP(b|g), w≈0.25) is no longer a probability, so mass-based
-# truncation cuts far too deep (measured: recall 0.94 -> 0.52 at 12
-# probes). probe_mass is a knob for probability-calibrated routers (the
-# flat index's plain softmax); HierarchicalIndex.search warns about the
-# combination.
+# probe_mass on the calibrated router: probes are RANKED by the
+# calibrated score (w·logP(g)+logP(b|g), w≈0.25) but the truncation mass
+# is drawn from the TRUE joint probability (search.routing_logits) —
+# truncating on the calibrated softmax itself over-pruned badly
+# (measured: recall 0.94 -> 0.52 at 12 probes; its mass is not a
+# probability). The post-gate A/B below tries true-mass truncation at the
+# headline budget and adopts it when it keeps the gate and wins time.
+PROBE_MASS_AB = (0.95, 0.9)
 K = 10
 SEED = 2023
 
@@ -144,7 +146,7 @@ def main():
     # 10k-query dispatch costs barely more memory than four 2.5k ones and
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
-    def run_once(probes, bq, rerank_dtype="float32"):
+    def run_once(probes, bq, rerank_dtype="float32", probe_mass=None):
         # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
         # query tiles (exact rerank absorbs the quantization noise);
         # qc=192 reads each bucket's data once at the ~164-slot typical
@@ -153,7 +155,8 @@ def main():
         # HBM bandwidth)
         scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=bq,
                             pallas_qc=192, pallas_mc=1024, int8_queries=True,
-                            rerank_dtype=rerank_dtype)
+                            rerank_dtype=rerank_dtype,
+                            probe_mass=probe_mass)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg,
                   queries_search_host=q_host)  # warmup/compile
@@ -224,6 +227,22 @@ def main():
             t_search, recall, rerank_dtype_used = t16, r16, "float16"
     except Exception as e:  # the 31 GB f16 shadow is a host-RAM gamble
         print(f"# rerank_f16 failed: {e}", file=sys.stderr, flush=True)
+    # true-mass truncation A/B: rank unchanged, confident queries drop
+    # their tail probes — adopt when it keeps the gate and wins time
+    probe_mass_used = None
+    for mass in PROBE_MASS_AB:
+        try:
+            tm, rm = run_once(probes_used, batch_q["bq"],
+                              rerank_dtype=rerank_dtype_used,
+                              probe_mass=mass)
+        except Exception as e:
+            print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
+                  flush=True)
+            continue
+        print(f"# probe_mass={mass}: {tm:.3f}s recall {rm:.4f}",
+              file=sys.stderr, flush=True)
+        if rm >= RECALL_GATE and tm < t_search:
+            t_search, recall, probe_mass_used = tm, rm, mass
     qps = N_QUERIES / t_search
 
     # ---- probe-phase work model vs the MEASURED chip ceilings
@@ -266,6 +285,7 @@ def main():
         "n_rows": N,
         "store": "int8+rerank",
         "rerank_dtype": rerank_dtype_used,
+        "probe_mass": probe_mass_used,
         "ref_search_s_10M": REF_SEARCH_S,
         "ref_build_s_10M": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),

@@ -1,5 +1,6 @@
 """Two-level hierarchical index vs the exact oracle and the flat index."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -229,3 +230,76 @@ def test_set_outer_weight_refreshes_predict(built_hier, synthetic_small):
         assert flipped
     finally:
         built_hier.set_outer_weight(w0)
+
+
+def test_probe_mass_true_joint_on_calibrated_router(built_hier,
+                                                    synthetic_small):
+    """probe_mass on a CALIBRATED router: ranking uses the calibrated joint
+    score, the truncation mass the TRUE joint probability (which IS a
+    probability — the calibrated softmax is not and measured-over-pruned).
+    probe_mass=1.0 must be a no-op; a tight mass must save scan work while
+    keeping most of the full-budget k-set."""
+    from tpulmi.utils.config import SearchConfig
+
+    qn = synthetic_small["queries_nav"]
+    qs = synthetic_small["queries_search"]
+    w0 = built_hier.built.classifier.model.outer_weight
+    try:
+        built_hier.set_outer_weight(0.25)
+        # scan-row accounting is query-chunk-granular; a small chunk makes
+        # slot truncation visible on this small fixture
+        base = SearchConfig(k=10, backend="xla", compute_dtype="float32",
+                            query_chunk=8)
+        d0, i0 = built_hier.search(qn, qs, n_buckets=8, k=10,
+                                   search_config=base)
+        full = SearchConfig(k=10, backend="xla", compute_dtype="float32",
+                            query_chunk=8, probe_mass=1.0)
+        d1, i1 = built_hier.search(qn, qs, n_buckets=8, k=10,
+                                   search_config=full)
+        np.testing.assert_array_equal(i1, i0)
+        assert built_hier.last_scan_rows == built_hier.last_nominal_rows
+        nominal = built_hier.last_nominal_rows
+
+        # the small fixture's true joint mass is spread: at 8/32 probes no
+        # query reaches 0.95, so use a mass that actually truncates here
+        trunc = SearchConfig(k=10, backend="xla", compute_dtype="float32",
+                             query_chunk=8, probe_mass=0.60)
+        d2, i2 = built_hier.search(qn, qs, n_buckets=8, k=10,
+                                   search_config=trunc)
+        assert built_hier.last_scan_rows < nominal  # real work saved
+        kept = built_hier.last_scan_rows / nominal
+        overlap = np.mean([
+            len(set(i2[r]) & set(i0[r])) / 10 for r in range(len(i0))
+        ])
+        # graceful degradation: the k-set kept must beat the scan fraction
+        # kept (true-mass ranking concentrates the useful work up front)
+        assert overlap > kept
+        assert overlap > 0.6
+    finally:
+        built_hier.set_outer_weight(w0)
+
+
+def test_route_probes_ranks_by_score_truncates_by_mass():
+    """route_probes(mass_logits=...): probe ORDER follows the ranking
+    logits; the truncation point follows the cumulative mass of the
+    mass_logits softmax — the rank-vs-mass separation the calibrated
+    joint router needs (its ranking softmax is not a probability)."""
+    from tpulmi.search import route_probes
+
+    # ranking prefers buckets [3, 0, 2, 1]; the true mass is concentrated
+    # on bucket 3 (0.7) then 0 (0.2): a 0.85 mass budget keeps exactly
+    # ranks 0-1 and dumps ranks 2-3
+    rank = jnp.array([[2.0, -1.0, 1.0, 3.0]])
+    p = np.array([[0.2, 0.06, 0.04, 0.7]])
+    mass = jnp.log(jnp.asarray(p))
+    probes = np.asarray(route_probes(rank, 4, probe_mass=0.85, dump_id=-7,
+                                     mass_logits=mass))
+    np.testing.assert_array_equal(probes[0], [3, 0, -7, -7])
+    # without mass_logits the ranking softmax is the mass: rank logits
+    # [3,2,1] are e-spaced (top prob ~0.66, cum@2 ~0.90), so 0.85 keeps
+    # ranks 0-1 too, but a 0.95 budget keeps rank 2 as well
+    probes = np.asarray(route_probes(rank, 4, probe_mass=0.95, dump_id=-7))
+    np.testing.assert_array_equal(probes[0], [3, 0, 2, -7])
+    # probe_mass=None: plain top-k, no dumping
+    probes = np.asarray(route_probes(rank, 4))
+    np.testing.assert_array_equal(probes[0], [3, 0, 2, 1])

@@ -518,24 +518,16 @@ class HierarchicalIndex(LearnedIndex):
 
         ``n_groups`` is accepted for API compatibility with the staged
         two-level reading (probe budget becomes ``n_groups * n_buckets``
-        global probes); joint routing subsumes staged pruning."""
+        global probes); joint routing subsumes staged pruning.
+
+        ``SearchConfig.probe_mass`` composes with calibration: probes are
+        RANKED by the calibrated score `w·logP(g|q) + logP(b|q,g)` but the
+        truncation mass is drawn from the TRUE joint probability
+        `logP(g)+logP(b|g)` (`tpulmi.search.routing_logits`). Truncating on
+        the calibrated softmax itself was measured to over-prune badly
+        (20M: recall 0.94 → 0.52 — its mass is not a probability)."""
         if n_groups:
             n_buckets = n_groups * n_buckets
-        w = (getattr(self.built.classifier.model, "outer_weight", 1.0)
-             if self.built is not None else 1.0)
-        if (search_config is not None and search_config.probe_mass
-                and w != 1.0):
-            # the calibrated joint score is NOT a probability: its softmax
-            # concentrates artificially and mass truncation cuts far too
-            # deep (measured at 20M: recall 0.94 -> 0.52). Use probe depth
-            # as the knob on calibrated hierarchical routers.
-            log.warning(
-                "probe_mass=%s with calibrated outer_weight=%.2f: the "
-                "joint softmax is not a probability and truncation will "
-                "over-prune — expect a recall drop; prefer the probe "
-                "budget (n_buckets) on calibrated routers",
-                search_config.probe_mass, w,
-            )
         return super().search(
             queries_nav, queries_search, n_buckets=n_buckets, k=k,
             search_config=search_config,

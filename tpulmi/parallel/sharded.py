@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tpulmi.buckets import BucketStore
-from tpulmi.search import _probe_search_impl, route_probes, size_class
+from tpulmi.search import (_probe_search_impl, route_probes,
+                           routing_logits, size_class)
 
 
 @jax.tree_util.register_dataclass
@@ -408,13 +409,14 @@ def make_sharded_search_program(
 
     def local_search(params, queries_nav, queries_search,
                      data_s, ids_s, offs, cnts, start, *scales_s):
-        logits = model.apply({"params": params}, queries_nav)
+        logits, mass_logits = routing_logits(
+            model, params, queries_nav, need_mass=probe_mass is not None)
         # dump_id=-1: stays below every shard's local range, so the remap
         # below sends truncated slots to the dropped bucket `cat_pad` on
         # EVERY shard. (The global bucket count would land inside a ragged
         # last shard's padded local range and count truncated slots live.)
         probes = route_probes(logits, n_buckets, probe_mass=probe_mass,
-                              dump_id=-1)
+                              dump_id=-1, mass_logits=mass_logits)
         qs = l2_normalize(queries_search.astype(jnp.float32))
         local = probes - start[0, 0]
         local = jnp.where((local >= 0) & (local < cat_pad), local, cat_pad)

@@ -329,11 +329,21 @@ def _probe_search_pruned(
     )
 
 
-def route_probes(logits, n_buckets: int, *, probe_mass=None, dump_id=None):
-    """Rank buckets by routed probability and (optionally) truncate each
-    query's probe list at the ``probe_mass`` crossing: every rank up to and
+def route_probes(logits, n_buckets: int, *, probe_mass=None, dump_id=None,
+                 mass_logits=None):
+    """Rank buckets by routed score and (optionally) truncate each query's
+    probe list at the ``probe_mass`` crossing: every rank up to and
     including the one where cumulative routed mass first reaches the budget
     is kept; later slots are replaced by ``dump_id``.
+
+    ``mass_logits``: log-probabilities to DRAW THE MASS FROM when they
+    differ from the ranking score. A calibrated joint router ranks by
+    ``w·logP(g|q) + logP(b|q,g)`` whose softmax is NOT a probability (its
+    mass concentrates artificially — measured at 20M: truncation cut to ~3
+    probes and recall 0.94→0.52); the true joint ``logP(g)+logP(b|g)`` IS
+    one, so rank by the calibrated score and accumulate the true mass of
+    the ranked buckets. With ``mass_logits=None`` the ranking softmax is
+    the mass (the flat router's probability).
 
     ``dump_id`` must fall outside every live bucket range the *caller's*
     scan will see — the single-chip pipeline uses ``store.n_categories``
@@ -349,13 +359,29 @@ def route_probes(logits, n_buckets: int, *, probe_mass=None, dump_id=None):
     if probe_mass is None:
         _, probes = jax.lax.top_k(logits, n_buckets)
     else:
-        probs = jax.nn.softmax(logits, axis=-1)
-        p_top, probes = jax.lax.top_k(probs, n_buckets)
+        _, probes = jax.lax.top_k(logits, n_buckets)
+        probs = jax.nn.softmax(
+            logits if mass_logits is None else mass_logits, axis=-1)
+        p_top = jnp.take_along_axis(probs, probes, axis=1)
         cum = jnp.cumsum(p_top, axis=1)
         # keep every rank up to and including the mass crossing
         keep = (cum - p_top) < probe_mass
         probes = jnp.where(keep, probes, dump_id)
     return probes.astype(jnp.int32)
+
+
+def routing_logits(model, params, queries_nav, *, need_mass: bool):
+    """Apply the routing model; when truncating on a factorized router
+    (`JointRouter.components`), also return the TRUE joint log-probability
+    as the mass source for `route_probes` — one `components` call serves
+    both scores. Returns (ranking_logits, mass_logits_or_None)."""
+    if need_mass and hasattr(model, "components"):
+        lo, li = model.components({"params": params}, queries_nav)
+        rank = (model.outer_weight * lo[:, :, None] + li).reshape(
+            lo.shape[0], -1)
+        mass = (lo[:, :, None] + li).reshape(lo.shape[0], -1)
+        return rank, mass
+    return model.apply({"params": params}, queries_nav), None
 
 
 def make_search_program(
@@ -408,9 +434,11 @@ def make_search_program(
 
     @jax.jit
     def search_program(params, queries_nav, queries_search, store):
-        logits = model.apply({"params": params}, queries_nav)
+        logits, mass_logits = routing_logits(
+            model, params, queries_nav, need_mass=truncating)
         probes = route_probes(logits, n_buckets, probe_mass=probe_mass,
-                              dump_id=store.n_categories)
+                              dump_id=store.n_categories,
+                              mass_logits=mass_logits)
         qs = l2_normalize(queries_search.astype(jnp.float32))
         if backend == "pallas":
             from tpulmi.ops.pallas_topk import pallas_probe_search
