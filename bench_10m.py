@@ -136,12 +136,27 @@ def main():
     base = SearchConfig(k=K, int8_queries=True)
     t_search, recall = run_cfg(base)
     best, mass_used = base, None
+    # flat-worklist grid A/B: identical results, removes the dense grid's
+    # per-missing-chunk empty steps that bucket skew pays for (the kernel
+    # replica runs 0.65+ of measured HBM bw where this skewed store gets
+    # ~0.25 — kbench KB_SKEW measures the isolated delta)
+    wl = False
+    try:
+        cfgw = SearchConfig(k=K, int8_queries=True, pallas_worklist=True)
+        tw, rw = run_cfg(cfgw, runs=2)
+        print(f"# worklist: {tw:.3f}s recall {rw:.4f}",
+              file=sys.stderr, flush=True)
+        if rw >= RECALL_GATE and tw < t_search:
+            t_search, recall, best, wl = tw, rw, cfgw, True
+    except Exception as e:  # noqa: BLE001 — keep the dense-grid result
+        print(f"# worklist failed: {e}", file=sys.stderr, flush=True)
     # adaptive probe truncation: the flat router's softmax IS a calibrated
     # probability, so stopping at the mass crossing drops whole slots for
     # easy queries (fewer query blocks per bucket) with ~no recall cost;
     # adopt the biggest cut that keeps the gate and improves time
     for mass in (0.95, 0.98):
-        cfgm = SearchConfig(k=K, probe_mass=mass, int8_queries=True)
+        cfgm = SearchConfig(k=K, probe_mass=mass, int8_queries=True,
+                            pallas_worklist=wl)
         tm, rm = run_cfg(cfgm, runs=2)
         print(f"# probe_mass={mass}: {tm:.3f}s recall {rm:.4f}",
               file=sys.stderr, flush=True)
@@ -152,7 +167,7 @@ def main():
     # ~4e-4 distance error (an order below the int8 error the rerank
     # erases) — adopt when it keeps the gate and wins time
     cfg16 = SearchConfig(k=K, int8_queries=True, rerank_dtype="float16",
-                         probe_mass=mass_used)
+                         probe_mass=mass_used, pallas_worklist=wl)
     t16, r16 = run_cfg(cfg16, runs=2)
     print(f"# rerank_f16: {t16:.3f}s recall {r16:.4f}",
           file=sys.stderr, flush=True)
@@ -161,7 +176,8 @@ def main():
     # diagnostic: device-only time (rerank off) splits the wall into
     # device probe vs host rerank; not the headline (lower recall)
     t_dev, r_dev = run_cfg(SearchConfig(k=K, int8_queries=True,
-                                        rerank=False), runs=2)
+                                        rerank=False, pallas_worklist=wl),
+                           runs=2)
     print(f"# rerank-off: {t_dev:.3f}s recall {r_dev:.4f} "
           f"(host rerank ~{max(t_search - t_dev, 0):.3f}s)",
           file=sys.stderr, flush=True)
@@ -206,6 +222,7 @@ def main():
         "search_s_10k_queries": round(t_search, 4),
         "probe_mass": mass_used,
         "rerank_dtype": best.rerank_dtype,
+        "pallas_worklist": wl,
         "build_s": round(t_build, 2),
         "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
         "ref_search_s": REF_SEARCH_S,

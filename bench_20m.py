@@ -146,7 +146,8 @@ def main():
     # 10k-query dispatch costs barely more memory than four 2.5k ones and
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
-    def run_once(probes, bq, rerank_dtype="float32", probe_mass=None):
+    def run_once(probes, bq, rerank_dtype="float32", probe_mass=None,
+                 worklist=False):
         # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
         # query tiles (exact rerank absorbs the quantization noise);
         # qc=192 reads each bucket's data once at the ~164-slot typical
@@ -156,7 +157,8 @@ def main():
         scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=bq,
                             pallas_qc=192, pallas_mc=1024, int8_queries=True,
                             rerank_dtype=rerank_dtype,
-                            probe_mass=probe_mass)
+                            probe_mass=probe_mass,
+                            pallas_worklist=worklist)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg,
                   queries_search_host=q_host)  # warmup/compile
@@ -227,6 +229,18 @@ def main():
             t_search, recall, rerank_dtype_used = t16, r16, "float16"
     except Exception as e:  # the 31 GB f16 shadow is a host-RAM gamble
         print(f"# rerank_f16 failed: {e}", file=sys.stderr, flush=True)
+    # flat-worklist grid A/B: identical results — removes the dense grid's
+    # empty steps that the skewed 488-bucket store pays for
+    worklist_used = False
+    try:
+        twl, rwl = run_once(probes_used, batch_q["bq"],
+                            rerank_dtype=rerank_dtype_used, worklist=True)
+        print(f"# worklist: {twl:.3f}s recall {rwl:.4f}", file=sys.stderr,
+              flush=True)
+        if rwl >= RECALL_GATE and twl < t_search:
+            t_search, recall, worklist_used = twl, rwl, True
+    except Exception as e:  # noqa: BLE001 — keep the dense-grid result
+        print(f"# worklist failed: {e}", file=sys.stderr, flush=True)
     # true-mass truncation A/B: rank unchanged, confident queries drop
     # their tail probes — adopt when it keeps the gate and wins time
     probe_mass_used = None
@@ -234,7 +248,7 @@ def main():
         try:
             tm, rm = run_once(probes_used, batch_q["bq"],
                               rerank_dtype=rerank_dtype_used,
-                              probe_mass=mass)
+                              probe_mass=mass, worklist=worklist_used)
         except Exception as e:
             print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
                   flush=True)
@@ -286,6 +300,7 @@ def main():
         "store": "int8+rerank",
         "rerank_dtype": rerank_dtype_used,
         "probe_mass": probe_mass_used,
+        "pallas_worklist": worklist_used,
         "ref_search_s_10M": REF_SEARCH_S,
         "ref_build_s_10M": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),

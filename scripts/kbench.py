@@ -54,11 +54,19 @@ ITERS = int(os.environ.get("KB_ITERS", 8))
 SEED = 0
 
 
-def make_store(n, c, d, align, dtype=jnp.bfloat16):
-    """Equal-size, block-aligned buckets of unit rows, generated on device
-    (n is rounded down to c * align granularity)."""
-    rows_per = max(n // c // align, 1) * align
-    n = rows_per * c
+def make_store(n, c, d, align, dtype=jnp.bfloat16, skew=0.0):
+    """Block-aligned buckets of unit rows, generated on device (n is
+    rounded to `align` granularity per bucket). ``skew > 0`` draws bucket
+    sizes from a power law (size_i ∝ 1/i^skew) — the production regime
+    where popular k-means buckets dwarf the mean (BENCH_10M.md measures
+    ~2.5× probe inflation from exactly this on the dense grid)."""
+    if skew > 0:
+        w = 1.0 / np.arange(1, c + 1, dtype=np.float64) ** skew
+        w /= w.sum()
+        rows = np.maximum((w * n / align).astype(np.int64), 1) * align
+    else:
+        rows = np.full((c,), max(n // c // align, 1) * align, np.int64)
+    n = int(rows.sum())
 
     @jax.jit
     def gen(key):
@@ -73,7 +81,7 @@ def make_store(n, c, d, align, dtype=jnp.bfloat16):
         jnp.arange(n, dtype=jnp.int32),
         jnp.full((pad,), -1, jnp.int32),
     ])
-    counts = jnp.full((c,), rows_per, jnp.int32)
+    counts = jnp.asarray(rows, jnp.int32)
     offsets = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(counts).astype(jnp.int32),
@@ -160,17 +168,32 @@ def bench(fn, out_holder):
 def main():
     args = set(sys.argv[2:]) | ({sys.argv[1]} if len(sys.argv) > 1 else set())
     align = int(os.environ.get("KB_ALIGN", 1024))
-    store = make_store(N, C, D, align)
+    skew = float(os.environ.get("KB_SKEW", 0.0))
+    store = make_store(N, C, D, align, skew=skew)
     n_actual = store.n
-    max_bucket = n_actual // C
+    counts_host = np.asarray(jax.device_get(store.counts))
+    max_bucket = int(counts_host.max())
+    if skew:
+        print(f"# skew={skew}: bucket rows max/mean/min = "
+              f"{counts_host.max()}/{counts_host.mean():.0f}/"
+              f"{counts_host.min()}", file=sys.stderr)
     if "--int8" in args:
         store = quantize_store(store)
         jax.device_get(store.data_sorted[-1, :1])
 
     rng = np.random.default_rng(SEED)
-    probes = jnp.asarray(np.stack(
-        [rng.permutation(C)[:P] for _ in range(Q)]
-    ).astype(np.int32))
+    if skew:
+        # production correlation: popular buckets are also the big ones —
+        # probe probability proportional to bucket size, no replacement
+        pw = counts_host.astype(np.float64) / counts_host.sum()
+        probes_np = np.stack([
+            rng.choice(C, size=P, replace=False, p=pw) for _ in range(Q)
+        ]).astype(np.int32)
+    else:
+        probes_np = np.stack(
+            [rng.permutation(C)[:P] for _ in range(Q)]
+        ).astype(np.int32)
+    probes = jnp.asarray(probes_np)
     queries = jax.random.normal(jax.random.PRNGKey(1), (Q, D), jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
     jax.device_get(queries[-1, :1])
@@ -200,22 +223,37 @@ def main():
             continue
         flops, bytes_hbm = work_model(store, probes, qc, mc)
 
+        # --wl A/Bs the flat-worklist grid against the dense 2-D grid at
+        # every selected tiling; the pad is the exact closed-form total
+        # for this fixed probe set (tpulmi/ops/pallas_topk.py docstring)
+        wl_variants = [0, 1] if "--wl" in args else [0]
         for int8q in q_variants:
-            def run(qc=qc, mc=mc, int8q=int8q):
+          for use_wl in wl_variants:
+            if use_wl:
+                sc = np.bincount(probes_np.reshape(-1), minlength=C)
+                ndb = np.maximum(-(-counts_host // mc), 1)
+                wl_pad = int(np.sum((-(-sc // qc)) * ndb * (sc > 0)))
+            else:
+                wl_pad = 0
+
+            def run(qc=qc, mc=mc, int8q=int8q, wl_pad=wl_pad):
                 return pallas_probe_search(
                     probes, queries, store, k=K, qc=qc, mc=mc,
                     max_chunks=-(-max_bucket // mc),
                     compute_dtype=jnp.bfloat16,
                     int8_queries=int8q,
                     extract_sub=int(os.environ.get("KB_SUB", 64)),
+                    wl_pad=wl_pad,
                 )
 
             try:
                 t = bench(run, outs)
             except Exception as e:  # noqa: BLE001 - VMEM OOM etc: skip config
-                print(f"# {qc}/{mc} failed: {str(e)[:120]}", file=sys.stderr)
+                print(f"# {qc}/{mc} wl={wl_pad} failed: {str(e)[:120]}",
+                      file=sys.stderr)
                 continue
-            key = f"pallas_qc{qc}_mc{mc}" + ("_int8q" if int8q else "")
+            key = (f"pallas_qc{qc}_mc{mc}" + ("_int8q" if int8q else "")
+                   + ("_wl" if use_wl else ""))
             results[key] = {
                 "s": round(t, 4),
                 "tflops": round(flops / t / 1e12, 1),
@@ -224,6 +262,8 @@ def main():
                 "mfu_meas": round(flops / t / MEAS_BF16, 3),
                 "hbm_meas": round(bytes_hbm / t / MEAS_HBM, 3),
             }
+            if use_wl:
+                results[key]["wl_items"] = wl_pad
             if "--stream" in args:
                 # Shape-specific speed-of-light floor: a pure (qc,d)x(d,mc)
                 # matmul stream over the SAME store bytes and dtypes — the

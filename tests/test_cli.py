@@ -103,6 +103,21 @@ def test_cli_calibrate_prune_probe_mass(tmp_path):
     assert len(files) == 1
 
 
+def test_cli_pallas_worklist_flag(tmp_path):
+    """--pallas-worklist plumbs SearchConfig.pallas_worklist through the
+    driver (on CPU the auto backend resolves to xla, where the knob is
+    inert — the kernel-level equivalence lives in test_pallas_topk.py)."""
+    main([
+        "--synthetic", "6000", "--n-categories", "8", "--epochs", "3",
+        "-bp", "25", "--size", "100K", "--k", "5",
+        "--pallas-worklist", "true",
+        "--result-dir", str(tmp_path / "r"),
+    ])
+    import glob
+    files = glob.glob(str(tmp_path) + "/**/*.h5", recursive=True)
+    assert len(files) == 1
+
+
 def test_cli_int8_f16_rerank(tmp_path):
     """CLI end-to-end with an int8 store reranked from the f16 shadow
     corpus (--rerank-dtype float16)."""

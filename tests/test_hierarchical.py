@@ -232,20 +232,22 @@ def test_set_outer_weight_refreshes_predict(built_hier, synthetic_small):
         built_hier.set_outer_weight(w0)
 
 
-def test_probe_mass_true_joint_on_calibrated_router(built_hier,
-                                                    synthetic_small):
+def test_probe_mass_temperature_on_calibrated_router(built_hier,
+                                                     synthetic_small):
     """probe_mass on a CALIBRATED router: ranking uses the calibrated joint
-    score, the truncation mass the TRUE joint probability (which IS a
-    probability — the calibrated softmax is not and measured-over-pruned).
-    probe_mass=1.0 must be a no-op; a tight mass must save scan work while
-    keeping most of the full-budget k-set."""
+    score, the truncation mass its temperature-flattened softmax
+    (mass_temp — the raw softmax is overconfident and measured-over-pruned
+    at scale). probe_mass=1.0 must be a no-op; a tight mass must save scan
+    work while keeping most of the full-budget k-set."""
     from tpulmi.utils.config import SearchConfig
 
     qn = synthetic_small["queries_nav"]
     qs = synthetic_small["queries_search"]
     w0 = built_hier.built.classifier.model.outer_weight
+    t0 = built_hier.built.classifier.model.mass_temp
     try:
         built_hier.set_outer_weight(0.25)
+        built_hier.set_mass_temp(2.0)
         # scan-row accounting is query-chunk-granular; a small chunk makes
         # slot truncation visible on this small fixture
         base = SearchConfig(k=10, backend="xla", compute_dtype="float32",
@@ -277,6 +279,24 @@ def test_probe_mass_true_joint_on_calibrated_router(built_hier,
         assert overlap > 0.6
     finally:
         built_hier.set_outer_weight(w0)
+        built_hier.set_mass_temp(t0)
+
+
+def test_calibration_fits_mass_temp(built_hier, synthetic_small):
+    """calibrate_outer_weight fits and applies a probe-mass temperature:
+    the cumulative flattened mass before the true bucket's rank must
+    deliver at least the containment each target mass promises."""
+    w0 = built_hier.built.classifier.model.outer_weight
+    t0 = built_hier.built.classifier.model.mass_temp
+    try:
+        res = built_hier.calibrate_outer_weight(
+            synthetic_small["data_nav"], probe_budget=8, n_queries=512)
+        assert res["mass_temp"] is not None and res["mass_temp"] >= 1.0
+        assert (built_hier.built.classifier.model.mass_temp
+                == res["mass_temp"])
+    finally:
+        built_hier.set_outer_weight(w0)
+        built_hier.set_mass_temp(t0)
 
 
 def test_route_probes_ranks_by_score_truncates_by_mass():

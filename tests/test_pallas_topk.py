@@ -109,6 +109,95 @@ def test_pallas_int8_queries_matches_xla(rng):
     assert overlap > 0.9
 
 
+@pytest.mark.parametrize("int8q", [False, True])
+def test_pallas_flat_worklist_matches_dense(rng, int8q):
+    """wl_pad > 0 switches the kernel to the flat worklist grid (one step
+    per live (block, chunk) pair — skew costs nothing). Results must be
+    identical to the dense 2-D grid on a SKEWED store with empty probed
+    buckets and dump ids, for both the f32 and int8×int8 paths; the
+    returned worklist total must match the closed form Σ ceil(slots/qc)
+    · max(chunks, 1)."""
+    from tpulmi.ops.quantize import quantize_store
+
+    mc = 1024 if int8q else 256
+    data, queries, labels, store = _setup(rng, mc=mc)
+    if int8q:
+        store = quantize_store(store)
+    c = store.n_categories
+    # skew the routing: everyone probes bucket 0 plus random others, ~40%
+    # of non-rank-0 probes dumped (probe-mass truncation), one empty probe
+    probes = np.stack(
+        [rng.permutation(c)[:4] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    probes[:, 0] = 0
+    drop = rng.random(probes.shape) < 0.4
+    drop[:, 0] = False
+    probes = np.where(drop, c, probes).astype(np.int32)
+
+    max_bucket = int(np.asarray(store.counts).max())
+    maxch = -(-max_bucket // mc)
+    kw = dict(k=10, qc=128, mc=mc, max_chunks=maxch,
+              compute_dtype=jnp.float32, int8_queries=int8q, interpret=True)
+    d2, i2, ms2 = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, **kw)
+    df, if_, msf, total = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, wl_pad=4096, **kw)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(d2), atol=1e-5)
+    assert (np.asarray(if_) == np.asarray(i2)).mean() > 0.99
+    assert int(msf) == int(ms2)
+
+    sc = np.bincount(probes.reshape(-1)[probes.reshape(-1) < c],
+                     minlength=c)
+    ndb = np.maximum(-(-np.asarray(store.counts) // mc), 1)
+    want = int(np.sum((-(-sc // 128)) * ndb * (sc > 0)))
+    assert int(total) == want
+
+    # a tight pad equal to the true total is sufficient
+    d3, i3, _, t3 = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, wl_pad=want, **kw)
+    np.testing.assert_allclose(np.asarray(d3), np.asarray(d2), atol=1e-5)
+    assert int(t3) == want
+
+    # an UNDERSIZED pad still reports the true total (the caller's
+    # overflow contract: results invalid, re-run larger)
+    _, _, _, t4 = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        wl_pad=max(want // 2, 1), **kw)
+    assert int(t4) == want
+
+
+def test_index_worklist_end_to_end(rng):
+    """SearchConfig.pallas_worklist through the facade: identical results
+    to the dense grid, wl-pad cache populated, overflow re-run safe."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    n, d_nav, d = 2000, 32, 128
+    nav = rng.normal(size=(n, d_nav)).astype(np.float32)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    li = LearnedIndex(IndexConfig(n_categories=8, epochs=2, lr=0.003,
+                                  batch_size=256, row_align=256))
+    li.build(nav, data)
+    qn, qs = nav[:40], data[:40]
+    base = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                        pallas_qc=128, pallas_mc=256)
+    dw = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                      pallas_qc=128, pallas_mc=256, pallas_worklist=True)
+    d0, i0 = li.search(qn, qs, n_buckets=3, k=5, search_config=base)
+    d1, i1 = li.search(qn, qs, n_buckets=3, k=5, search_config=dw)
+    np.testing.assert_allclose(d1, d0, atol=1e-5)
+    np.testing.assert_array_equal(i1, i0)
+    assert li._wl_pads[(40, 3)] >= 1024
+
+    # force an overflow: shrink the cached pad below the true total and
+    # verify the re-run path restores correct results
+    li._wl_pads[(40, 3)] = 1  # hmm: pad=1 -> program with wl_pad=1
+    d2, i2 = li.search(qn, qs, n_buckets=3, k=5, search_config=dw)
+    np.testing.assert_allclose(d2, d0, atol=1e-5)
+    assert li._wl_pads[(40, 3)] >= 1024
+
+
 def test_pallas_dump_ids_dropped(rng):
     """Probe-mass truncation replaces dropped probes with the out-of-range
     dump id (== n_categories). The kernel's worklist must route those

@@ -63,6 +63,7 @@ def run(
     calibrate: bool = False,
     prune: bool = False,
     rerank_dtype: str = "float32",
+    pallas_worklist: bool = False,
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
@@ -163,7 +164,7 @@ def run(
         log.info("index checkpoint saved to %s", path)
 
     scfg = None
-    if probe_mass or prune or rerank_dtype != "float32":
+    if probe_mass or prune or rerank_dtype != "float32" or pallas_worklist:
         from tpulmi.utils.config import SearchConfig
 
         # Threshold pruning lives on the XLA pipeline only; with the default
@@ -179,6 +180,7 @@ def run(
             prune_after=1 if prune else 0,
             backend="xla" if prune else "auto",
             rerank_dtype=rerank_dtype,
+            pallas_worklist=pallas_worklist,
         )
     for n_buckets in n_buckets_list:
         start = time.perf_counter()
@@ -270,6 +272,11 @@ def main(argv=None):
                         help="Precision of the exact host rerank for int8 "
                              "stores (float16 halves the gather bytes; "
                              "f32-accumulated half bmm, ~6e-5 max error)")
+    parser.add_argument("--pallas-worklist", default=False, type=_str2bool,
+                        help="Run the Pallas probe kernel on the flat "
+                             "worklist grid (identical results; removes "
+                             "the empty grid steps bucket-size skew pays "
+                             "on the dense grid)")
     args = parser.parse_args(argv)
 
     run(
@@ -296,6 +303,7 @@ def main(argv=None):
         calibrate=args.calibrate,
         prune=args.prune,
         rerank_dtype=args.rerank_dtype,
+        pallas_worklist=args.pallas_worklist,
     )
 
 

@@ -88,12 +88,21 @@ class JointRouter:
     `HierarchicalIndex.set_outer_weight`, which clears the program caches."""
 
     def __init__(self, outer_model, inner_model, n_groups: int, n_cat: int,
-                 outer_weight: float = 1.0):
+                 outer_weight: float = 1.0, mass_temp: float = 1.0):
         self.outer_model = outer_model
         self.inner_model = inner_model
         self.n_groups = n_groups
         self.n_cat = n_cat
         self.outer_weight = float(outer_weight)
+        # mass temperature for SearchConfig.probe_mass: the truncation
+        # mass is softmax(ranking/mass_temp). Both the raw joint AND the
+        # calibrated score produce overconfident softmaxes at scale
+        # (measured 20M: truncating on either cuts to ~1-3 probes, recall
+        # 0.91 -> 0.50); calibrate_outer_weight fits the smallest temp
+        # whose cumulative mass before the true bucket's rank matches the
+        # containment it promises. Traced constant — set via
+        # `HierarchicalIndex.set_mass_temp` (clears program caches).
+        self.mass_temp = float(mass_temp)
 
     def components(self, variables, x):
         """(outer log-softmax (Q, G), inner log-softmax (Q, G, C)) —
@@ -387,6 +396,15 @@ class HierarchicalIndex(LearnedIndex):
         self._search_programs = {}
         self._sharded_programs = {}
 
+    def set_mass_temp(self, t: float) -> None:
+        """Set the probe-mass temperature (see `JointRouter.mass_temp`).
+        Clears the compiled search-program caches."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        self.built.classifier.model.mass_temp = float(t)
+        self._search_programs = {}
+        self._sharded_programs = {}
+
     def calibrate_outer_weight(
         self,
         data_nav,
@@ -486,21 +504,59 @@ class HierarchicalIndex(LearnedIndex):
         best_i = int(np.argmax(containment))
         baseline = (containment[grid.index(1.0)] if 1.0 in grid
                     else None)
+
+        # ---- probe-mass temperature: the ranking softmax (any w) is
+        # overconfident at scale, so `SearchConfig.probe_mass` drawn from
+        # it over-prunes (measured 20M: recall 0.91 -> 0.50). Fit the
+        # smallest temperature whose cumulative mass BEFORE the true
+        # bucket's rank keeps >= m of the in-budget containment for every
+        # target mass m — then "keep 0.95 mass" really keeps >= 95% of
+        # the recall the probe budget could reach.
+        w_best = float(grid[best_i])
+        joint = (w_best * lo_all[:, :, None] + li_all).reshape(
+            n_queries, gxc)
+        order = np.argsort(-joint, axis=1)
+        ranks = np.empty_like(order)
+        np.put_along_axis(
+            ranks, order, np.broadcast_to(np.arange(gxc), order.shape), 1)
+        r_t = ranks[np.arange(n_queries), target_bucket]
+        in_budget = r_t < budget
+        mass_temp = None
+        if in_budget.any():
+            rows = np.arange(n_queries)
+            for tau in (1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0):
+                z = joint / tau
+                z -= z.max(axis=1, keepdims=True)
+                p = np.exp(z)
+                p /= p.sum(axis=1, keepdims=True)
+                sp = np.take_along_axis(p, order, 1)
+                cum = np.cumsum(sp, axis=1)
+                cb = (cum[rows, r_t] - sp[rows, r_t])[in_budget]
+                if all(float(np.mean(cb < m)) >= m
+                       for m in (0.8, 0.9, 0.95)):
+                    mass_temp = tau
+                    break
+            if mass_temp is None:
+                mass_temp = 128.0
+
         result = {
             "weights": list(grid),
             "containment": containment,
-            "best": float(grid[best_i]),
+            "best": w_best,
             "best_containment": containment[best_i],
             "baseline_w1": baseline,
             "probe_budget": budget,
+            "mass_temp": mass_temp,
         }
         log.info("router calibration @%d probes: %s -> w=%.2f "
-                 "(containment %.4f, w=1 %.4f)", budget,
+                 "(containment %.4f, w=1 %.4f), mass_temp=%s", budget,
                  ["%.2f:%.4f" % (w, c) for w, c in zip(grid, containment)],
                  result["best"], result["best_containment"],
-                 -1.0 if baseline is None else baseline)
+                 -1.0 if baseline is None else baseline, mass_temp)
         if apply:
             self.set_outer_weight(result["best"])
+            if mass_temp is not None:
+                self.set_mass_temp(mass_temp)
         return result
 
     # ----------------------------------------------------------------- search
@@ -521,11 +577,14 @@ class HierarchicalIndex(LearnedIndex):
         global probes); joint routing subsumes staged pruning.
 
         ``SearchConfig.probe_mass`` composes with calibration: probes are
-        RANKED by the calibrated score `w·logP(g|q) + logP(b|q,g)` but the
-        truncation mass is drawn from the TRUE joint probability
-        `logP(g)+logP(b|g)` (`tpulmi.search.routing_logits`). Truncating on
-        the calibrated softmax itself was measured to over-prune badly
-        (20M: recall 0.94 → 0.52 — its mass is not a probability)."""
+        RANKED by the calibrated score `w·logP(g|q) + logP(b|q,g)` while
+        the truncation mass is `softmax(score / mass_temp)` with the
+        temperature fitted by `calibrate_outer_weight` against measured
+        containment (`tpulmi.search.routing_logits`). Both the raw joint
+        and the calibrated softmax are overconfident at scale — truncating
+        on either was measured to cut to ~1-3 probes (20M: recall
+        0.91 → 0.50); the fitted temperature makes "keep mass m" keep
+        ≥ m of the budget's reachable recall."""
         if n_groups:
             n_buckets = n_groups * n_buckets
         return super().search(
@@ -551,6 +610,8 @@ class HierarchicalIndex(LearnedIndex):
                 "seed": hcfg.seed,
                 "outer_weight": float(getattr(
                     self.built.classifier.model, "outer_weight", 1.0)),
+                "mass_temp": float(getattr(
+                    self.built.classifier.model, "mass_temp", 1.0)),
             }, f)
 
     @classmethod
@@ -565,6 +626,7 @@ class HierarchicalIndex(LearnedIndex):
         with open(path / "hier.json") as f:
             h = json.load(f)
         outer_weight = float(h.pop("outer_weight", 1.0))
+        mass_temp = float(h.pop("mass_temp", 1.0))
         inner_cfg = IndexConfig(**meta["config"])
         cfg = HierarchicalConfig(inner=inner_cfg, **h)
         index = cls(cfg)
@@ -576,6 +638,7 @@ class HierarchicalIndex(LearnedIndex):
             model_type=meta["model_type"],
         )
         classifier.model.outer_weight = outer_weight
+        classifier.model.mass_temp = mass_temp
         classifier.params = jax.device_put(state["params"])
         store = BucketStore(
             data_sorted=jnp.asarray(state["store"]["data_sorted"]),

@@ -87,6 +87,7 @@ class LearnedIndex:
         self.built: Optional[BuiltIndex] = None
         self._search_programs = {}   # static-config -> jitted program
         self._qpb_pads = {}          # (Q, n_buckets) -> validated qpb_pad
+        self._wl_pads = {}           # (Q, n_buckets) -> pallas worklist pad
         # optional host-resident full-precision corpus (rows by original
         # 0-based id) + normalized flag; enables the exact rerank on
         # quantized stores
@@ -858,6 +859,16 @@ class LearnedIndex:
                            max(4 * n_slots // built.store.n_categories, 128))),
         )
 
+        # flat-worklist grid for the Pallas kernel: sized from this batch's
+        # actual routing on first use (one extra routing dispatch), cached,
+        # and re-run once larger if a later batch's true total overflows it
+        wl_pad = 0
+        if backend == "pallas" and scfg.pallas_worklist:
+            wl_pad = self._wl_pads.get((q, n_buckets), 0)
+            if not wl_pad:
+                wl_pad = self._estimate_wl_pad(queries_nav, n_buckets, scfg)
+                self._wl_pads[(q, n_buckets)] = wl_pad
+
         # threshold pruning: only meaningful past the first probe ranks, on
         # the XLA pipeline, with bounds precomputed (compute_bounds())
         pruning = (scfg.prune_after > 0 and backend == "xla"
@@ -881,7 +892,7 @@ class LearnedIndex:
             prog_key = (backend, n_buckets, k_eff, qpb_pad, data_chunk,
                         max_chunks, query_chunk, scfg.compute_dtype,
                         (scfg.prune_after, prune_eps) if pruning else None,
-                        scfg.probe_mass, scfg.int8_queries)
+                        scfg.probe_mass, scfg.int8_queries, wl_pad)
             program = self._search_programs.get(prog_key)
             if program is None:
                 program = make_search_program(
@@ -898,6 +909,7 @@ class LearnedIndex:
                     pallas_mc=scfg.pallas_mc,
                     pallas_max_chunks=pallas_max_chunks,
                     pallas_int8_queries=scfg.int8_queries,
+                    pallas_wl_pad=wl_pad,
                     prune_after=scfg.prune_after if pruning else 0,
                     prune_eps=prune_eps,
                     probe_mass=scfg.probe_mass,
@@ -906,7 +918,15 @@ class LearnedIndex:
             out = program(
                 built.classifier.params, queries_nav, queries_search, built.store
             )
-            if want_stats:
+            if wl_pad:
+                dists, ids, max_slots, wl_total = jax.device_get(out)
+                if int(wl_total) > wl_pad:
+                    # worklist overflow drops trailing work: re-run larger
+                    wl_pad = max(
+                        -(-int(int(wl_total) * 1.15) // 1024) * 1024, 1024)
+                    self._wl_pads[(q, n_buckets)] = wl_pad
+                    continue
+            elif want_stats:
                 dists, ids, max_slots, scanned, nominal = jax.device_get(out)
                 self.last_scan_rows = int(scanned)
                 self.last_nominal_rows = int(nominal)
@@ -929,6 +949,33 @@ class LearnedIndex:
         # (`search/li/LearnedIndex.py:174-190`).
         ids = np.where(ids < 0, 0, ids)
         return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
+
+    def _estimate_wl_pad(self, queries_nav, n_buckets: int,
+                         scfg: SearchConfig) -> int:
+        """Size the Pallas flat-worklist grid from this batch's ACTUAL
+        routing: W = Σ_b ceil(slots_b/qc) · max(ceil(rows_b/mc), 1) over
+        probed buckets — the closed form of the kernel's block-major
+        worklist (`ops/pallas_topk.py`). One extra routing dispatch, paid
+        once per (Q, n_buckets) shape; 15% headroom absorbs routing
+        variance across later batches (overflow re-runs once, larger)."""
+        from tpulmi.search import route_probes, routing_logits
+
+        built = self.built
+        clf = built.classifier
+        logits, mass = routing_logits(
+            clf.model, clf.params, queries_nav,
+            need_mass=scfg.probe_mass is not None)
+        probes = route_probes(
+            logits, n_buckets, probe_mass=scfg.probe_mass,
+            dump_id=built.store.n_categories, mass_logits=mass)
+        n_cat = built.store.n_categories
+        pb = np.asarray(jax.device_get(probes)).reshape(-1)
+        sc = np.bincount(pb[pb < n_cat], minlength=n_cat)
+        counts = np.asarray(jax.device_get(built.store.counts))
+        qc, mc = scfg.pallas_qc, scfg.pallas_mc
+        ndb = np.maximum(-(-counts // mc), 1)
+        w = int(np.sum((-(-sc // qc)) * ndb * (sc > 0)))
+        return max(-(-int(w * 1.15) // 1024) * 1024, 1024)
 
     def search_single(
         self,

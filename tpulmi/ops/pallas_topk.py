@@ -48,12 +48,42 @@ _DSTART, _NDB, _QLIM, _DLIM = range(4)
 def _kernel(s_ref, q_ref, d_ref, *rest,
             k: int, qc: int, mc: int, quantized: bool = False,
             int8q: bool = False, sub: int = 64):
+    # dense 2-D grid: (query block, chunk); bucket-size skew costs empty
+    # grid steps (compute gated off, DMA elided by the clamped index map)
+    j = pl.program_id(0)   # query block
+    c = pl.program_id(1)   # data chunk within the block's bucket
+    last_c = pl.num_programs(1) - 1
+    _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
+                 k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
+                 sub=sub)
+
+
+def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
+                 k: int, qc: int, mc: int, quantized: bool = False,
+                 int8q: bool = False, sub: int = 64):
+    # flat worklist grid: one step per LIVE (query block, chunk) pair —
+    # bucket-size skew costs nothing. wl_ref (2, wl_pad) holds the
+    # block-major worklist; padding items past the true total re-address
+    # the final block with c >= its chunk count, so every gate below is
+    # off and their DMA is elided (constant index maps).
+    i = pl.program_id(0)
+    j = wl_ref[0, i]
+    c = wl_ref[1, i]
+    # a block's final item is its real last chunk (empty probed buckets
+    # get one item so their output tile still receives the sentinel init)
+    last_c = jnp.maximum(s_ref[_NDB, j], 1) - 1
+    _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
+                 k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
+                 sub=sub)
+
+
+def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
+                 *, k: int, qc: int, mc: int, quantized: bool,
+                 int8q: bool, sub: int):
     if quantized:
         sc_ref, out_d_ref, out_i_ref, best_d, best_i = rest
     else:
         out_d_ref, out_i_ref, best_d, best_i = rest
-    j = pl.program_id(0)   # query block
-    c = pl.program_id(1)   # data chunk within the block's bucket
     ndb = s_ref[_NDB, j]
     q_lim = s_ref[_QLIM, j]
     d_lim = s_ref[_DLIM, j]
@@ -172,8 +202,8 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
                 best_i[lo:lo + SUB] = bi
 
     # the output tile is indexed by the query block alone; write it once, on
-    # the block's final grid step, instead of copying scratch every chunk
-    @pl.when(c == pl.num_programs(1) - 1)
+    # the block's final step, instead of copying scratch every chunk
+    @pl.when(c == last_c)
     def _():
         out_d_ref[:] = best_d[:]
         out_i_ref[:] = best_i[:]
@@ -182,7 +212,7 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
 @partial(
     jax.jit,
     static_argnames=("k", "qc", "mc", "max_chunks", "compute_dtype",
-                     "int8_queries", "extract_sub", "interpret"),
+                     "int8_queries", "extract_sub", "wl_pad", "interpret"),
 )
 def pallas_probe_search(
     probe_buckets: jnp.ndarray,   # (Q, P) int32
@@ -196,10 +226,20 @@ def pallas_probe_search(
     compute_dtype=jnp.bfloat16,
     int8_queries: bool = False,
     extract_sub: int = 64,        # extraction sub-group rows (8..128)
+    wl_pad: int = 0,              # flat-worklist grid length (0 = 2-D grid)
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, ...]:
     """Drop-in replacement for tpulmi.search._probe_search_impl backed by the
-    fused Pallas kernel. Returns (dists (Q,k), ids (Q,k), max_slots).
+    fused Pallas kernel. Returns (dists (Q,k), ids (Q,k), max_slots); with
+    ``wl_pad > 0`` a 4th element, the TRUE worklist total, is appended.
+
+    ``wl_pad`` switches the grid from dense 2-D (query-block × max_chunks —
+    bucket-size skew pays one empty grid step per missing chunk; measured
+    ~2.5× probe-phase inflation at the skewed 10M shape, BENCH_10M.md) to a
+    flat worklist of live (block, chunk) pairs built on device. wl_pad is a
+    STATIC length; callers size it like qpb_pad (estimate from the routed
+    slot counts, cache, re-run larger if the returned total exceeds it —
+    results are INVALID on overflow since trailing work items are dropped).
 
     Requires a store built with row_align % mc == 0 and d % 128 == 0.
 
@@ -308,42 +348,92 @@ def pallas_probe_search(
         [blk_dstart, blk_ndb, blk_qlim, blk_dlim], axis=0
     ).astype(jnp.int32)
 
-    def data_block_index(j, c, s):
-        return (
-            s[_DSTART, j] + jnp.minimum(c, jnp.maximum(s[_NDB, j] - 1, 0)),
-            0,
-        )
-
-    in_specs = [
-        pl.BlockSpec((qc, d), lambda j, c, s: (j, 0)),
-        pl.BlockSpec((mc, d), data_block_index),
+    scratch = [
+        pltpu.VMEM((qc, K_LANE), jnp.float32),
+        pltpu.VMEM((qc, K_LANE), jnp.int32),
     ]
-    inputs = [scalars, qvecs, data]
-    if quantized:
-        in_specs.append(pl.BlockSpec((mc // 128, 128), data_block_index))
-        inputs.append(sc_blocks)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.int32),
+    ]
+    wl_total = None
+    if wl_pad > 0:
+        # flat worklist: one grid step per live (block, chunk) pair,
+        # block-major so the scratch accumulator carries within a block.
+        # Empty probed buckets keep ONE item (their output tile must get
+        # the sentinel init); dead alignment-tail blocks get none.
+        live = blk_qlim > 0
+        ndb_wl = jnp.where(live, jnp.maximum(blk_ndb, 1), 0).astype(jnp.int32)
+        cum = jnp.cumsum(ndb_wl).astype(jnp.int32)
+        wl_total = cum[n_qblocks - 1]
+        ex = cum - ndb_wl
+        ii = jnp.arange(wl_pad, dtype=jnp.int32)
+        wl_j = jnp.minimum(
+            jnp.searchsorted(cum, ii, side="right").astype(jnp.int32),
+            n_qblocks - 1,
+        )
+        wl_c = ii - jnp.take(ex, wl_j)
+        wl = jnp.stack([wl_j, wl_c])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_qblocks, max_chunks),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
-            pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((qc, K_LANE), jnp.float32),
-            pltpu.VMEM((qc, K_LANE), jnp.int32),
-        ],
-    )
+        def data_index_flat(i, s, w):
+            j = w[0, i]
+            return (
+                s[_DSTART, j]
+                + jnp.minimum(w[1, i], jnp.maximum(s[_NDB, j] - 1, 0)),
+                0,
+            )
+
+        in_specs = [
+            pl.BlockSpec((qc, d), lambda i, s, w: (w[0, i], 0)),
+            pl.BlockSpec((mc, d), data_index_flat),
+        ]
+        inputs = [scalars, wl, qvecs, data]
+        if quantized:
+            in_specs.append(pl.BlockSpec((mc // 128, 128), data_index_flat))
+            inputs.append(sc_blocks)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(wl_pad,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[0, i], 0)),
+                pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[0, i], 0)),
+            ],
+            scratch_shapes=scratch,
+        )
+        kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc,
+                         quantized=quantized, int8q=int8q, sub=extract_sub)
+    else:
+        def data_block_index(j, c, s):
+            return (
+                s[_DSTART, j] + jnp.minimum(c, jnp.maximum(s[_NDB, j] - 1, 0)),
+                0,
+            )
+
+        in_specs = [
+            pl.BlockSpec((qc, d), lambda j, c, s: (j, 0)),
+            pl.BlockSpec((mc, d), data_block_index),
+        ]
+        inputs = [scalars, qvecs, data]
+        if quantized:
+            in_specs.append(pl.BlockSpec((mc // 128, 128), data_block_index))
+            inputs.append(sc_blocks)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_qblocks, max_chunks),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
+                pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
+            ],
+            scratch_shapes=scratch,
+        )
+        kernel = partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized,
+                         int8q=int8q, sub=extract_sub)
     out_d, out_i = pl.pallas_call(
-        partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                sub=extract_sub),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
 
@@ -378,4 +468,6 @@ def pallas_probe_search(
         jnp.take(store.ids_sorted, jnp.maximum(final_rows, 0)),
         -1,
     )
+    if wl_total is not None:
+        return final_d, final_i, slot_counts.max(), wl_total
     return final_d, final_i, slot_counts.max()

@@ -371,17 +371,22 @@ def route_probes(logits, n_buckets: int, *, probe_mass=None, dump_id=None,
 
 
 def routing_logits(model, params, queries_nav, *, need_mass: bool):
-    """Apply the routing model; when truncating on a factorized router
-    (`JointRouter.components`), also return the TRUE joint log-probability
-    as the mass source for `route_probes` — one `components` call serves
-    both scores. Returns (ranking_logits, mass_logits_or_None)."""
-    if need_mass and hasattr(model, "components"):
-        lo, li = model.components({"params": params}, queries_nav)
-        rank = (model.outer_weight * lo[:, :, None] + li).reshape(
-            lo.shape[0], -1)
-        mass = (lo[:, :, None] + li).reshape(lo.shape[0], -1)
-        return rank, mass
-    return model.apply({"params": params}, queries_nav), None
+    """Apply the routing model; when truncating (`probe_mass`) on a model
+    carrying a fitted ``mass_temp`` (`JointRouter`), also return the
+    temperature-flattened logits as the mass source for `route_probes`.
+    Ranking is untouched; only the truncation mass is softmax(rank/temp).
+    Both the raw joint and the calibrated score produce OVERCONFIDENT
+    softmaxes at scale (measured 20M: truncating on either cut to ~1-3
+    probes, recall 0.91 -> 0.50); `calibrate_outer_weight` fits the
+    smallest temp whose cumulative mass before the true bucket's rank
+    delivers the containment the mass promises. Returns
+    (ranking_logits, mass_logits_or_None)."""
+    logits = model.apply({"params": params}, queries_nav)
+    if need_mass:
+        mt = float(getattr(model, "mass_temp", 1.0))
+        if mt != 1.0:
+            return logits, logits / mt
+    return logits, None
 
 
 def make_search_program(
@@ -399,6 +404,7 @@ def make_search_program(
     pallas_mc: int = 512,
     pallas_max_chunks: int = 1,
     pallas_int8_queries: bool = False,
+    pallas_wl_pad: int = 0,
     prune_after: int = 0,
     prune_eps: float = 0.0,
     probe_mass=None,
@@ -425,7 +431,14 @@ def make_search_program(
     XLA pipeline they are segment-dropped; on the Pallas kernel they land
     in alignment-padding query blocks whose live-slot count is ≤0, which
     `pl.when` skips. The XLA pipeline additionally returns the 5-tuple
-    with scan counters when pruning or truncating."""
+    with scan counters when pruning or truncating.
+
+    ``pallas_wl_pad > 0`` (Pallas backend) runs the kernel on the flat
+    worklist grid — one grid step per live (query-block, chunk) pair
+    instead of the dense (blocks × max_chunks) grid whose empty steps
+    bucket-size skew pays for. The program then returns a 4th element,
+    the true worklist total; callers must re-run with a larger pad if it
+    exceeds ``pallas_wl_pad`` (trailing work is dropped on overflow)."""
     from tpulmi.ops.distance import l2_normalize
 
     t0 = min(prune_after, n_buckets - 1) if prune_after > 0 else 0
@@ -453,6 +466,11 @@ def make_search_program(
                 max_chunks=pallas_max_chunks,
                 compute_dtype=compute_dtype or jnp.float32,
                 int8_queries=pallas_int8_queries,
+                wl_pad=pallas_wl_pad,
+                # trace-time constant: Mosaic has no CPU target, so the
+                # explicit pallas backend falls back to interpret mode
+                # there (tests; "auto" never picks pallas on CPU)
+                interpret=jax.default_backend() == "cpu",
             )
         if pruning:
             d1, i1, m1, rows1, nom1 = _probe_search_core(

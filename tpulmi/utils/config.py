@@ -97,6 +97,14 @@ class SearchConfig:
     # ~0.5% query-quantization noise sits inside the margin the int8
     # store's exact rerank already absorbs — keep `rerank` on with this.
     int8_queries: bool = False
+    # Pallas backend: run the kernel on a flat worklist grid (one grid
+    # step per live (query-block, chunk) pair) instead of the dense
+    # (blocks × max_chunks) grid. Bucket-size skew costs the dense grid
+    # one empty step per missing chunk — measured ~2.5× probe-phase
+    # inflation at the skewed 10M shape (BENCH_10M.md). The worklist
+    # length is sized from the first batch's actual routing and re-run
+    # once larger on overflow (same contract as queries_per_bucket_pad).
+    pallas_worklist: bool = False
 
     # Quantized (int8) stores only: rerank the final candidates against a
     # host-resident full-precision corpus (when the index has one) to erase
