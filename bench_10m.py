@@ -154,10 +154,18 @@ def main():
     # probability, so stopping at the mass crossing drops whole slots for
     # easy queries (fewer query blocks per bucket) with ~no recall cost;
     # adopt the biggest cut that keeps the gate and improves time
+    # every A/B past the base measurement is best-effort: a failed
+    # experimental config (or a backend wedged by one) must never cost
+    # the already-measured base JSON
     for mass in (0.95, 0.98):
-        cfgm = SearchConfig(k=K, probe_mass=mass, int8_queries=True,
-                            pallas_worklist=wl)
-        tm, rm = run_cfg(cfgm, runs=2)
+        try:
+            cfgm = SearchConfig(k=K, probe_mass=mass, int8_queries=True,
+                                pallas_worklist=wl)
+            tm, rm = run_cfg(cfgm, runs=2)
+        except Exception as e:  # noqa: BLE001
+            print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
+                  flush=True)
+            continue
         print(f"# probe_mass={mass}: {tm:.3f}s recall {rm:.4f}",
               file=sys.stderr, flush=True)
         if rm >= RECALL_GATE and tm < t_search:
@@ -166,30 +174,68 @@ def main():
     # f16 rerank shadow: halves the single-core candidate-gather bytes;
     # ~4e-4 distance error (an order below the int8 error the rerank
     # erases) — adopt when it keeps the gate and wins time
-    cfg16 = SearchConfig(k=K, int8_queries=True, rerank_dtype="float16",
-                         probe_mass=mass_used, pallas_worklist=wl)
-    t16, r16 = run_cfg(cfg16, runs=2)
-    print(f"# rerank_f16: {t16:.3f}s recall {r16:.4f}",
-          file=sys.stderr, flush=True)
-    if r16 >= RECALL_GATE and t16 < t_search:
-        t_search, recall, best = t16, r16, cfg16
+    try:
+        cfg16 = SearchConfig(k=K, int8_queries=True, rerank_dtype="float16",
+                             probe_mass=mass_used, pallas_worklist=wl)
+        t16, r16 = run_cfg(cfg16, runs=2)
+        print(f"# rerank_f16: {t16:.3f}s recall {r16:.4f}",
+              file=sys.stderr, flush=True)
+        if r16 >= RECALL_GATE and t16 < t_search:
+            t_search, recall, best = t16, r16, cfg16
+    except Exception as e:  # noqa: BLE001
+        print(f"# rerank_f16 failed: {e}", file=sys.stderr, flush=True)
     # diagnostic: device-only time (rerank off) splits the wall into
     # device probe vs host rerank; not the headline (lower recall)
-    t_dev, r_dev = run_cfg(SearchConfig(k=K, int8_queries=True,
-                                        rerank=False, pallas_worklist=wl),
-                           runs=2)
-    print(f"# rerank-off: {t_dev:.3f}s recall {r_dev:.4f} "
-          f"(host rerank ~{max(t_search - t_dev, 0):.3f}s)",
-          file=sys.stderr, flush=True)
+    try:
+        t_dev, r_dev = run_cfg(SearchConfig(k=K, int8_queries=True,
+                                            rerank=False,
+                                            pallas_worklist=wl),
+                               runs=2)
+        print(f"# rerank-off: {t_dev:.3f}s recall {r_dev:.4f} "
+              f"(host rerank ~{max(t_search - t_dev, 0):.3f}s)",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"# rerank-off failed: {e}", file=sys.stderr, flush=True)
     # the relay's service latency settles over a session (first timed runs
     # land right after the 7.7 GB upload drains); re-measure the winning
     # config at the end and keep the best steady-state number
-    t2, r2 = run_cfg(best, runs=3)
-    print(f"# re-measure: {t2:.3f}s recall {r2:.4f}",
-          file=sys.stderr, flush=True)
-    if r2 >= RECALL_GATE and t2 < t_search:
-        t_search, recall = t2, r2
+    try:
+        t2, r2 = run_cfg(best, runs=3)
+        print(f"# re-measure: {t2:.3f}s recall {r2:.4f}",
+              file=sys.stderr, flush=True)
+        if r2 >= RECALL_GATE and t2 < t_search:
+            t_search, recall = t2, r2
+    except Exception as e:  # noqa: BLE001
+        print(f"# re-measure failed: {e}", file=sys.stderr, flush=True)
     qps = N_QUERIES / t_search
+
+    # Sustained serving throughput at the winning config: the pipelined
+    # loop (`search_stream`, depth 2) overlaps the next batch's device
+    # probe with this batch's fetch + host rerank, which serialize inside
+    # each single `search` call above.
+    STREAM_BATCHES = 4
+    sustained_qps = None
+    try:
+        batches = [(q_nav, q_search, q_host)] * STREAM_BATCHES
+        s_ids = None
+        for _ in range(2):  # second pass is the warm/steady measurement
+            t0 = time.perf_counter()
+            for _, s_ids in li.search_stream(
+                    batches, n_buckets=N_PROBES, k=K,
+                    search_config=best, depth=2):
+                pass
+            t_stream = time.perf_counter() - t0
+        r_stream = float(np.mean([
+            len(set(s_ids[i]) & set(gt_ids[i])) / K
+            for i in range(N_QUERIES)
+        ]))
+        per_batch = t_stream / STREAM_BATCHES
+        print(f"# stream x{STREAM_BATCHES}: {per_batch:.3f}s/batch "
+              f"recall {r_stream:.4f}", file=sys.stderr, flush=True)
+        if r_stream >= RECALL_GATE and N_QUERIES / per_batch > qps:
+            sustained_qps = N_QUERIES / per_batch
+    except Exception as e:  # noqa: BLE001 — keep the single-call result
+        print(f"# stream failed: {e}", file=sys.stderr, flush=True)
 
     # ---- probe-phase work model vs the MEASURED chip ceilings
     # (scripts/calib.py: ~82 bf16 TFLOPS / ~196 GB/s — NOTES.md) ----
@@ -213,12 +259,16 @@ def main():
         built.store.data_sorted.dtype.itemsize)
 
     ok = recall >= RECALL_GATE
+    headline = sustained_qps if sustained_qps else qps
     result = {
-        "metric": "search_qps_10k_queries_10M_bp4_recall>=0.90",
-        "value": round(qps, 1),
+        "metric": ("sustained_search_qps_10M_bp4_recall>=0.90"
+                   if sustained_qps else
+                   "search_qps_10k_queries_10M_bp4_recall>=0.90"),
+        "value": round(headline, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / REF_QPS, 2) if ok else 0.0,
+        "vs_baseline": round(headline / REF_QPS, 2) if ok else 0.0,
         "recall_at_10": round(recall, 4),
+        "single_call_qps": round(qps, 1),
         "search_s_10k_queries": round(t_search, 4),
         "probe_mass": mass_used,
         "rerank_dtype": best.rerank_dtype,

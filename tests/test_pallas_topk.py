@@ -224,3 +224,48 @@ def test_pallas_dump_ids_dropped(rng):
                             data_chunk=mc)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
     assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
+
+
+def test_worklist_smem_cap(rng, monkeypatch):
+    """The worklist is a scalar-prefetch SMEM operand: the kernel refuses
+    pads above WL_PAD_MAX, and the facade's estimator falls back to the
+    dense grid (returns 0, caches the disable) instead of crashing the
+    backend — the measured 10M failure mode."""
+    import tpulmi.ops.pallas_topk as pk
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    data, queries, labels, store = _setup(rng)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:3] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    with pytest.raises(ValueError, match="WL_PAD_MAX"):
+        pallas_probe_search(
+            jnp.asarray(probes), jnp.asarray(queries), store,
+            k=10, qc=128, mc=256, max_chunks=-(-max_bucket // 256),
+            compute_dtype=jnp.float32, wl_pad=pk.WL_PAD_MAX + 1024,
+            interpret=True,
+        )
+
+    n, d_nav, d = 2000, 32, 128
+    nav = rng.normal(size=(n, d_nav)).astype(np.float32)
+    dd = rng.normal(size=(n, d)).astype(np.float32)
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    li = LearnedIndex(IndexConfig(n_categories=8, epochs=2, lr=0.003,
+                                  batch_size=256, row_align=256))
+    li.build(nav, dd)
+    monkeypatch.setattr(pk, "WL_PAD_MAX", 512)  # below the 1024 floor
+    scfg = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                        pallas_qc=128, pallas_mc=256, pallas_worklist=True)
+    base = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                        pallas_qc=128, pallas_mc=256)
+    qn, qs = nav[:40], dd[:40]
+    d0, i0 = li.search(qn, qs, n_buckets=3, k=5, search_config=base)
+    d1, i1 = li.search(qn, qs, n_buckets=3, k=5, search_config=scfg)
+    np.testing.assert_array_equal(i1, i0)
+    assert li._wl_pads[(40, 3)] == -1  # disabled, not re-estimated
+    # steady state: second call reuses the disable without re-routing
+    d2, i2 = li.search(qn, qs, n_buckets=3, k=5, search_config=scfg)
+    np.testing.assert_array_equal(i2, i0)

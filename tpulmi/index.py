@@ -21,9 +21,11 @@ everything internal is 0-based.
 import json
 import os
 import time
+from collections import deque
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional, Tuple
+from types import SimpleNamespace
+from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -816,6 +818,28 @@ class LearnedIndex:
                 queries_nav, queries_search, n_buckets, k, scfg,
                 host_queries=queries_search_host,
             )
+        plan = self._plan_search(queries_nav, n_buckets, k, scfg)
+        while True:
+            program = self._dispatch_program(plan, n_buckets, scfg)
+            out = program(
+                built.classifier.params, queries_nav, queries_search, built.store
+            )
+            got = jax.device_get(out)
+            status = self._absorb_result(plan, n_buckets, got)
+            if status == "retry":
+                continue
+            dists, ids = status
+            break
+        return self._finalize(dists, ids, plan, k, scfg, queries_search,
+                              queries_search_host)
+
+    def _plan_search(self, queries_nav, n_buckets: int, k: int,
+                     scfg: SearchConfig):
+        """Resolve every static decision one probe-search dispatch needs —
+        backend, rerank depth, padding classes, pruning flags — into a
+        mutable plan shared by `search` (with its overflow-retry loop) and
+        `search_stream` (which dispatches ahead of synchronization)."""
+        built = self.built
         compute_dtype = (
             jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype else None
         )
@@ -861,13 +885,16 @@ class LearnedIndex:
 
         # flat-worklist grid for the Pallas kernel: sized from this batch's
         # actual routing on first use (one extra routing dispatch), cached,
-        # and re-run once larger if a later batch's true total overflows it
+        # and re-run once larger if a later batch's true total overflows it.
+        # Cached -1 = disabled for this shape (would exceed the SMEM cap).
         wl_pad = 0
         if backend == "pallas" and scfg.pallas_worklist:
-            wl_pad = self._wl_pads.get((q, n_buckets), 0)
-            if not wl_pad:
+            wl_pad = self._wl_pads.get((q, n_buckets))
+            if wl_pad is None:
                 wl_pad = self._estimate_wl_pad(queries_nav, n_buckets, scfg)
-                self._wl_pads[(q, n_buckets)] = wl_pad
+                self._wl_pads[(q, n_buckets)] = wl_pad or -1
+            elif wl_pad < 0:
+                wl_pad = 0
 
         # threshold pruning: only meaningful past the first probe ranks, on
         # the XLA pipeline, with bounds precomputed (compute_bounds())
@@ -885,60 +912,85 @@ class LearnedIndex:
         else:
             prune_eps = 1e-4
 
-        pallas_max_chunks = max(-(-built.max_bucket // scfg.pallas_mc), 1)
-        while True:
-            query_chunk = min(scfg.query_chunk, qpb_pad)
-            qpb_pad = -(-qpb_pad // query_chunk) * query_chunk
-            prog_key = (backend, n_buckets, k_eff, qpb_pad, data_chunk,
-                        max_chunks, query_chunk, scfg.compute_dtype,
-                        (scfg.prune_after, prune_eps) if pruning else None,
-                        scfg.probe_mass, scfg.int8_queries, wl_pad)
-            program = self._search_programs.get(prog_key)
-            if program is None:
-                program = make_search_program(
-                    built.classifier.model,
-                    k=k_eff,
-                    n_buckets=n_buckets,
-                    qpb_pad=qpb_pad,
-                    data_chunk=data_chunk,
-                    max_chunks=max_chunks,
-                    query_chunk=query_chunk,
-                    compute_dtype=compute_dtype,
-                    backend=backend,
-                    pallas_qc=scfg.pallas_qc,
-                    pallas_mc=scfg.pallas_mc,
-                    pallas_max_chunks=pallas_max_chunks,
-                    pallas_int8_queries=scfg.int8_queries,
-                    pallas_wl_pad=wl_pad,
-                    prune_after=scfg.prune_after if pruning else 0,
-                    prune_eps=prune_eps,
-                    probe_mass=scfg.probe_mass,
-                )
-                self._search_programs[prog_key] = program
-            out = program(
-                built.classifier.params, queries_nav, queries_search, built.store
+        return SimpleNamespace(
+            q=q, backend=backend, rerank=rerank, k_eff=k_eff,
+            compute_dtype=compute_dtype, data_chunk=data_chunk,
+            max_chunks=max_chunks, qpb_pad=qpb_pad, wl_pad=wl_pad,
+            pruning=pruning, prune_eps=prune_eps, want_stats=want_stats,
+            pallas_max_chunks=max(-(-built.max_bucket // scfg.pallas_mc), 1),
+        )
+
+    def _dispatch_program(self, plan, n_buckets: int, scfg: SearchConfig):
+        """Build (or fetch from the per-index cache) the jitted search
+        program for the plan's current static configuration. Rounds the
+        plan's qpb_pad up to the query-chunk granularity in place."""
+        built = self.built
+        query_chunk = min(scfg.query_chunk, plan.qpb_pad)
+        plan.qpb_pad = -(-plan.qpb_pad // query_chunk) * query_chunk
+        prog_key = (plan.backend, n_buckets, plan.k_eff, plan.qpb_pad,
+                    plan.data_chunk, plan.max_chunks, query_chunk,
+                    scfg.compute_dtype,
+                    (scfg.prune_after, plan.prune_eps) if plan.pruning
+                    else None,
+                    scfg.probe_mass, scfg.int8_queries, plan.wl_pad)
+        program = self._search_programs.get(prog_key)
+        if program is None:
+            program = make_search_program(
+                built.classifier.model,
+                k=plan.k_eff,
+                n_buckets=n_buckets,
+                qpb_pad=plan.qpb_pad,
+                data_chunk=plan.data_chunk,
+                max_chunks=plan.max_chunks,
+                query_chunk=query_chunk,
+                compute_dtype=plan.compute_dtype,
+                backend=plan.backend,
+                pallas_qc=scfg.pallas_qc,
+                pallas_mc=scfg.pallas_mc,
+                pallas_max_chunks=plan.pallas_max_chunks,
+                pallas_int8_queries=scfg.int8_queries,
+                pallas_wl_pad=plan.wl_pad,
+                prune_after=scfg.prune_after if plan.pruning else 0,
+                prune_eps=plan.prune_eps,
+                probe_mass=scfg.probe_mass,
             )
-            if wl_pad:
-                dists, ids, max_slots, wl_total = jax.device_get(out)
-                if int(wl_total) > wl_pad:
-                    # worklist overflow drops trailing work: re-run larger
-                    wl_pad = max(
-                        -(-int(int(wl_total) * 1.15) // 1024) * 1024, 1024)
-                    self._wl_pads[(q, n_buckets)] = wl_pad
-                    continue
-            elif want_stats:
-                dists, ids, max_slots, scanned, nominal = jax.device_get(out)
-                self.last_scan_rows = int(scanned)
-                self.last_nominal_rows = int(nominal)
-            else:
-                dists, ids, max_slots = jax.device_get(out)
-            if backend == "pallas" or int(max_slots) <= qpb_pad:
-                # the pallas worklist is per-bucket block-padded internally —
-                # qpb_pad overflow cannot occur there
-                self._qpb_pads[(q, n_buckets)] = qpb_pad
-                break
-            qpb_pad = size_class(int(max_slots))  # overflow: re-pad and rerun
-        if rerank:
+            self._search_programs[prog_key] = program
+        return program
+
+    def _absorb_result(self, plan, n_buckets: int, got):
+        """Unpack one fetched program result against the plan. Returns
+        (dists, ids) on success, or "retry" after growing the plan's
+        overflowed pad (worklist or queries-per-bucket) for a re-dispatch."""
+        if plan.wl_pad:
+            dists, ids, max_slots, wl_total = got
+            if int(wl_total) > plan.wl_pad:
+                # worklist overflow drops trailing work: re-run larger —
+                # or fall back to the dense grid past the SMEM cap
+                from tpulmi.ops.pallas_topk import WL_PAD_MAX
+                grown = max(
+                    -(-int(int(wl_total) * 1.15) // 1024) * 1024, 1024)
+                plan.wl_pad = grown if grown <= WL_PAD_MAX else 0
+                self._wl_pads[(plan.q, n_buckets)] = plan.wl_pad or -1
+                return "retry"
+        elif plan.want_stats:
+            dists, ids, max_slots, scanned, nominal = got
+            self.last_scan_rows = int(scanned)
+            self.last_nominal_rows = int(nominal)
+        else:
+            dists, ids, max_slots = got
+        if plan.backend == "pallas" or int(max_slots) <= plan.qpb_pad:
+            # the pallas worklist is per-bucket block-padded internally —
+            # qpb_pad overflow cannot occur there
+            self._qpb_pads[(plan.q, n_buckets)] = plan.qpb_pad
+            return dists, ids
+        plan.qpb_pad = size_class(int(max_slots))  # overflow: re-pad, rerun
+        return "retry"
+
+    def _finalize(self, dists, ids, plan, k: int, scfg: SearchConfig,
+                  queries_search, queries_search_host):
+        """Host post-processing shared by `search` and `search_stream`:
+        optional exact rerank, sentinel clamping, 1-based ids."""
+        if plan.rerank:
             dists, ids = self._rerank_host(
                 np.asarray(dists), np.asarray(ids), queries_search, k,
                 host_queries=queries_search_host,
@@ -950,6 +1002,97 @@ class LearnedIndex:
         ids = np.where(ids < 0, 0, ids)
         return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
 
+    def search_stream(
+        self,
+        batches: Iterable,
+        *,
+        n_buckets: int = 10,
+        k: int = 10,
+        search_config: Optional[SearchConfig] = None,
+        depth: int = 2,
+    ):
+        """Pipelined serving loop: a generator yielding `search`'s exact
+        (dists, 1-based anns) per input batch, in order, with up to
+        ``depth`` device dispatches in flight.
+
+        `search` synchronizes every call (dispatch → fetch → host
+        post-process), so per-call host↔device latency and the host-side
+        rerank serialize with device compute. Here batch *i+1* is enqueued
+        BEFORE batch *i*'s results are fetched — XLA's async dispatch keeps
+        the device busy while the host fetches, reranks, and yields — the
+        double-buffered pattern TPU serving loops use. On this repo's
+        relay-attached environment the per-dispatch round trip (~65 ms,
+        NOTES.md) dominates small-batch searches; production-adjacent
+        sustained throughput is this loop's steady rate, reported by
+        bench.py alongside the single-call latency.
+
+        ``batches`` yields ``(queries_nav, queries_search)`` or
+        ``(queries_nav, queries_search, queries_search_host)`` tuples
+        (the 3rd element as in `search`). Fixed batch shapes reuse one
+        compiled program; a new shape pays its compile at first use.
+
+        The first batch of each (Q, n_buckets) shape routes through
+        `search` to validate padding classes; later batches dispatch ahead
+        and fall back to a synchronous `search` only on a (rare) pad
+        overflow. Scan counters (`last_scan_rows`) are not maintained
+        across in-flight batches. Sharded indexes (`shard`) currently
+        degrade to sequential per-batch `search` calls."""
+        if self.built is None:
+            raise ValueError("Index is not built, call `build` first.")
+        scfg = search_config or SearchConfig(k=k, n_buckets=n_buckets)
+        built = self.built
+        nb = min(n_buckets, built.store.n_categories)
+        pending = deque()
+
+        def unpack(batch):
+            if len(batch) == 3:
+                qn, qs, qh = batch
+            else:
+                qn, qs = batch
+                qh = None
+            if qs is None:
+                qs = qn
+            if qh is None and isinstance(qs, np.ndarray):
+                qh = qs
+            return (jnp.asarray(qn, jnp.float32),
+                    jnp.asarray(qs, jnp.float32), qh)
+
+        def sync_one():
+            qn, qs, qh, out, plan = pending.popleft()
+            status = self._absorb_result(plan, nb, jax.device_get(out))
+            if status == "retry":
+                # pad overflow: the plan (and its cache) already grew;
+                # redo just this batch synchronously
+                return self.search(qn, qs, n_buckets=nb, k=k,
+                                   search_config=scfg,
+                                   queries_search_host=qh)
+            return self._finalize(status[0], status[1], plan, k, scfg,
+                                  qs, qh)
+
+        for batch in batches:
+            qn, qs, qh = unpack(batch)
+            q = int(qn.shape[0])
+            if (self._sharded is not None
+                    or (scfg.batch_queries and q > scfg.batch_queries)
+                    or (q, nb) not in self._qpb_pads):
+                # drain in-flight work so results stay ordered, then take
+                # the synchronous path (validates pads / compiles programs
+                # for a first-seen shape; handles sharded + oversized)
+                while pending:
+                    yield sync_one()
+                yield self.search(qn, qs, n_buckets=nb, k=k,
+                                  search_config=scfg,
+                                  queries_search_host=qh)
+                continue
+            plan = self._plan_search(qn, nb, k, scfg)
+            program = self._dispatch_program(plan, nb, scfg)
+            out = program(built.classifier.params, qn, qs, built.store)
+            pending.append((qn, qs, qh, out, plan))
+            if len(pending) >= depth:
+                yield sync_one()
+        while pending:
+            yield sync_one()
+
     def _estimate_wl_pad(self, queries_nav, n_buckets: int,
                          scfg: SearchConfig) -> int:
         """Size the Pallas flat-worklist grid from this batch's ACTUAL
@@ -957,7 +1100,12 @@ class LearnedIndex:
         probed buckets — the closed form of the kernel's block-major
         worklist (`ops/pallas_topk.py`). One extra routing dispatch, paid
         once per (Q, n_buckets) shape; 15% headroom absorbs routing
-        variance across later batches (overflow re-runs once, larger)."""
+        variance across later batches (overflow re-runs once, larger).
+
+        Returns 0 — keep the dense grid — when the padded worklist would
+        exceed `WL_PAD_MAX` (it is a scalar-prefetch SMEM operand; an
+        oversized one crashes the backend, ops/pallas_topk.py)."""
+        from tpulmi.ops.pallas_topk import WL_PAD_MAX
         from tpulmi.search import route_probes, routing_logits
 
         built = self.built
@@ -975,7 +1123,13 @@ class LearnedIndex:
         qc, mc = scfg.pallas_qc, scfg.pallas_mc
         ndb = np.maximum(-(-counts // mc), 1)
         w = int(np.sum((-(-sc // qc)) * ndb * (sc > 0)))
-        return max(-(-int(w * 1.15) // 1024) * 1024, 1024)
+        pad = max(-(-int(w * 1.15) // 1024) * 1024, 1024)
+        if pad > WL_PAD_MAX:
+            log.info(
+                "flat worklist would need %d items (> %d SMEM cap); "
+                "keeping the dense grid for this shape", pad, WL_PAD_MAX)
+            return 0
+        return pad
 
     def search_single(
         self,

@@ -40,6 +40,15 @@ from tpulmi.ops.distance import SENTINEL_DIST
 
 K_LANE = 128  # scratch/output lane width (hardware lane count)
 
+# Flat-worklist ceiling: the worklist is a scalar-prefetch operand and
+# lives in SMEM, which is small. 2x17.6k int32 items (the flat 10M shape)
+# crashed the backend with an INTERNAL error where 4.5k items (the 20M
+# hierarchical shape) ran fine; the worklist is packed one int32 per item
+# and capped here, falling back to the dense 2-D grid above the cap. The
+# dense grid is only slower when bucket CHUNK COUNTS vary (skewed sizes) —
+# exactly the small-bucket hierarchical regime where worklists stay short.
+WL_PAD_MAX = 8192
+
 # scalar-prefetch rows: first data block of the bucket, number of live data
 # chunks, live slots in this query block, bucket row limit (offset+count)
 _DSTART, _NDB, _QLIM, _DLIM = range(4)
@@ -59,16 +68,18 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
 
 
 def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
-                 k: int, qc: int, mc: int, quantized: bool = False,
+                 k: int, qc: int, mc: int, cmax: int,
+                 quantized: bool = False,
                  int8q: bool = False, sub: int = 64):
     # flat worklist grid: one step per LIVE (query block, chunk) pair —
-    # bucket-size skew costs nothing. wl_ref (2, wl_pad) holds the
-    # block-major worklist; padding items past the true total re-address
-    # the final block with c >= its chunk count, so every gate below is
-    # off and their DMA is elided (constant index maps).
+    # bucket-size skew costs nothing. wl_ref (wl_pad,) holds the
+    # block-major worklist PACKED one int32 per item (j*cmax + c — SMEM is
+    # the scarce resource, see WL_PAD_MAX); padding items past the true
+    # total re-address the final block with c >= its chunk count, so every
+    # gate below is off and their DMA is elided (constant index maps).
     i = pl.program_id(0)
-    j = wl_ref[0, i]
-    c = wl_ref[1, i]
+    j = wl_ref[i] // cmax
+    c = wl_ref[i] % cmax
     # a block's final item is its real last chunk (empty probed buckets
     # get one item so their output tile still receives the sentinel init)
     last_c = jnp.maximum(s_ref[_NDB, j], 1) - 1
@@ -358,10 +369,17 @@ def pallas_probe_search(
     ]
     wl_total = None
     if wl_pad > 0:
+        if wl_pad > WL_PAD_MAX:
+            raise ValueError(
+                f"wl_pad={wl_pad} exceeds WL_PAD_MAX={WL_PAD_MAX} (the "
+                f"worklist is a scalar-prefetch SMEM operand); use the "
+                f"dense grid (wl_pad=0) for this shape")
         # flat worklist: one grid step per live (block, chunk) pair,
         # block-major so the scratch accumulator carries within a block.
         # Empty probed buckets keep ONE item (their output tile must get
         # the sentinel init); dead alignment-tail blocks get none.
+        # Packed one int32 per item (j*cmax + c) to halve SMEM traffic.
+        cmax = max_chunks + 1
         live = blk_qlim > 0
         ndb_wl = jnp.where(live, jnp.maximum(blk_ndb, 1), 0).astype(jnp.int32)
         cum = jnp.cumsum(ndb_wl).astype(jnp.int32)
@@ -372,19 +390,19 @@ def pallas_probe_search(
             jnp.searchsorted(cum, ii, side="right").astype(jnp.int32),
             n_qblocks - 1,
         )
-        wl_c = ii - jnp.take(ex, wl_j)
-        wl = jnp.stack([wl_j, wl_c])
+        wl_c = jnp.minimum(ii - jnp.take(ex, wl_j), max_chunks)
+        wl = wl_j * cmax + wl_c
 
         def data_index_flat(i, s, w):
-            j = w[0, i]
+            j = w[i] // cmax
             return (
                 s[_DSTART, j]
-                + jnp.minimum(w[1, i], jnp.maximum(s[_NDB, j] - 1, 0)),
+                + jnp.minimum(w[i] % cmax, jnp.maximum(s[_NDB, j] - 1, 0)),
                 0,
             )
 
         in_specs = [
-            pl.BlockSpec((qc, d), lambda i, s, w: (w[0, i], 0)),
+            pl.BlockSpec((qc, d), lambda i, s, w: (w[i] // cmax, 0)),
             pl.BlockSpec((mc, d), data_index_flat),
         ]
         inputs = [scalars, wl, qvecs, data]
@@ -396,12 +414,12 @@ def pallas_probe_search(
             grid=(wl_pad,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[0, i], 0)),
-                pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[0, i], 0)),
+                pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[i] // cmax, 0)),
+                pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[i] // cmax, 0)),
             ],
             scratch_shapes=scratch,
         )
-        kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc,
+        kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
                          quantized=quantized, int8q=int8q, sub=extract_sub)
     else:
         def data_block_index(j, c, s):
