@@ -139,12 +139,15 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
 
         # Column mask only: knock out rows past the bucket's end (live only
         # on the bucket's LAST chunk, but one iota+compare+select is cheap
-        # enough to run unconditionally). Padded QUERY rows are NOT masked
-        # here — their outputs are discarded at scatter time, and the only
-        # way they could cost anything is by inflating the extraction
-        # iteration count, which the (qc,)-shaped mask on `cnt` below
-        # prevents for the price of one tiny 1-D select instead of a full
-        # (qc, mc) row-iota + and + where every tile.
+        # enough to run unconditionally — an A/B that gated it behind
+        # `lax.cond(live_cols >= mc, ...)` measured ~5% SLOWER at the 20M
+        # replica shape: the per-tile branch costs more than the pass).
+        # Padded QUERY rows are NOT masked here — their outputs are
+        # discarded at scatter time, and the only way they could cost
+        # anything is by inflating the extraction iteration count, which
+        # the (qc,)-shaped mask on `cnt` below prevents for the price of
+        # one tiny 1-D select instead of a full (qc, mc) row-iota + and +
+        # where every tile.
         col = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 1)
         live_cols = d_lim - d_blk * mc   # may exceed mc on interior chunks
         dists = jnp.where(col < live_cols, dists, SENTINEL_DIST)
