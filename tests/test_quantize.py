@@ -213,3 +213,52 @@ def test_rerank_host_mirror_and_f16(rng, monkeypatch):
     li.attach_host_corpus(np.array(data), normalized=True)
     li.search(queries, queries, n_buckets=c, k=k, search_config=scfg16)
     assert li._rerank_shadow[1] is not shadow_before
+
+
+def test_native_rerank_dot_parity(rng, monkeypatch):
+    """The fused C++ rerank (native_layout.rerank_dot) must reproduce the
+    gather+bmm path: same sims for f32/f16 corpora, normalized and not,
+    sentinel ids clamped like the NumPy gather; and _rerank_host must fall
+    back to the bmm path when the native kernel is unavailable."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.native import native_layout
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    if not native_layout.available():
+        pytest.skip("no native toolchain")
+
+    n, d, q, keff = 3000, 64, 32, 12
+    corpus = _unit(rng, n, d)
+    ids = rng.integers(0, n, size=(q, keff)).astype(np.int64)
+    ids[0, :3] = -1
+    qs = _unit(rng, q, d)
+
+    for src in (corpus, corpus.astype(np.float16)):
+        sims = native_layout.rerank_dot(src, ids, qs, normalized=True)
+        rows = src[np.maximum(ids, 0).reshape(-1)].astype(
+            np.float32).reshape(q, keff, d)
+        ref = np.einsum("qkd,qd->qk", rows, qs)
+        atol = 1e-5 if src.dtype == np.float32 else 2e-3
+        np.testing.assert_allclose(sims, ref, atol=atol)
+
+    # un-normalized corpus: rows L2-normalized on the fly
+    raw = rng.normal(size=(n, d)).astype(np.float32) * 3.0
+    sims = native_layout.rerank_dot(raw, ids, qs, normalized=False)
+    rows = raw[np.maximum(ids, 0).reshape(-1)].reshape(q, keff, d)
+    rows = rows / np.maximum(
+        np.linalg.norm(rows, axis=2, keepdims=True), 1e-12)
+    ref = np.einsum("qkd,qd->qk", rows, qs)
+    np.testing.assert_allclose(sims, ref, atol=1e-5)
+
+    # end-to-end: native on vs native off must give identical search output
+    data = _unit(rng, 4000, d)
+    li = LearnedIndex(IndexConfig(
+        n_categories=12, epochs=4, lr=0.003, batch_size=512, row_align=1))
+    li.build(data, data)
+    li.quantize(host_corpus=data, normalized=True)
+    scfg = SearchConfig(k=10, n_buckets=12, backend="xla")
+    d_nat, i_nat = li.search(qs, qs, n_buckets=12, k=10, search_config=scfg)
+    monkeypatch.setattr(type(native_layout), "available", lambda self: False)
+    d_bmm, i_bmm = li.search(qs, qs, n_buckets=12, k=10, search_config=scfg)
+    np.testing.assert_array_equal(i_nat, i_bmm)
+    np.testing.assert_allclose(d_nat, d_bmm, atol=1e-5)

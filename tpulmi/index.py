@@ -544,6 +544,36 @@ class LearnedIndex:
             if shadow is None or shadow[0] is not corpus:
                 shadow = (corpus, np.asarray(corpus, np.float16))
                 self._rerank_shadow = shadow
+            src = shadow[1]
+        else:
+            src = corpus if isinstance(corpus, np.ndarray) else None
+
+        # fused native path: each candidate row is read once and dotted
+        # against its query in C++ (F16C/FMA), skipping the (Q, K, d)
+        # gathered block and the batched-matmul pass entirely
+        sims = None
+        if (src is not None and src.dtype in (np.float32, np.float16)
+                and src.flags["C_CONTIGUOUS"]):
+            from tpulmi.native import native_layout
+
+            if native_layout.available():
+                try:
+                    sims = native_layout.rerank_dot(
+                        src, ids, qs, normalized=normalized)
+                except Exception as e:  # noqa: BLE001 — fall back to bmm
+                    log.info("native rerank_dot failed (%s); bmm path", e)
+        if sims is not None:
+            exact = 1.0 - sims
+            from tpulmi.ops.distance import SENTINEL_DIST
+
+            exact = np.where(ids < 0, SENTINEL_DIST, exact)
+            order = np.argsort(exact, axis=1, kind="stable")[:, :k]
+            return (
+                np.take_along_axis(exact, order, axis=1).astype(np.float32),
+                np.take_along_axis(ids, order, axis=1),
+            )
+
+        if rerank_dtype == "float16":
             # keep the gathered rows in f16: numpy's f16->f32 astype of the
             # 600 MB candidate block costs MORE than the halved gather
             # saves (measured 0.6 s vs 0.16 s at 10k x 20 x 768); torch's

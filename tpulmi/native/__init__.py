@@ -47,10 +47,19 @@ class _NativeLayout:
             try:
                 so = _so_path()
                 if not os.path.exists(so):
-                    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread",
-                           "-std=c++17", _SRC, "-o", so]
-                    subprocess.run(cmd, check=True, capture_output=True,
-                                   timeout=120)
+                    # -march=native unlocks F16C/FMA for the fused rerank
+                    # dot; the .so is a machine-local build artifact (hash-
+                    # keyed, never committed) so native codegen is safe.
+                    # Retry without it for toolchains that reject the flag.
+                    base = ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                            "-std=c++17", _SRC, "-o", so]
+                    try:
+                        subprocess.run(base[:2] + ["-march=native"]
+                                       + base[2:], check=True,
+                                       capture_output=True, timeout=120)
+                    except subprocess.CalledProcessError:
+                        subprocess.run(base, check=True,
+                                       capture_output=True, timeout=120)
                     log.info("compiled native layout kernel: %s", so)
                 lib = ctypes.CDLL(so)
                 fn = lib.tpulmi_scatter_rows
@@ -62,6 +71,16 @@ class _NativeLayout:
                     ctypes.c_void_p, ctypes.c_void_p,        # scales, ids
                     ctypes.c_longlong, ctypes.c_longlong,    # n, d
                     ctypes.c_int, ctypes.c_int,              # normalize, threads
+                ]
+                fn2 = lib.tpulmi_rerank_dot
+                fn2.restype = ctypes.c_int
+                fn2.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int,     # corpus, corpus_dtype
+                    ctypes.c_void_p, ctypes.c_void_p,  # ids, queries
+                    ctypes.c_void_p,                   # out_sims
+                    ctypes.c_longlong, ctypes.c_longlong,  # q, k_eff
+                    ctypes.c_longlong, ctypes.c_longlong,  # d, n_rows
+                    ctypes.c_int, ctypes.c_int,        # normalize, threads
                 ]
                 self._lib = lib
             except Exception as e:  # noqa: BLE001 - any failure -> fallback
@@ -103,6 +122,38 @@ class _NativeLayout:
         )
         if rc != 0:
             raise RuntimeError(f"native scatter_rows failed (rc={rc})")
+
+    def rerank_dot(self, corpus, ids, queries, *, normalized: bool = True,
+                   n_threads: int = 0) -> np.ndarray:
+        """Fused candidate gather + dot: `sims[i, j] = queries[i] ·
+        corpus[max(ids[i, j], 0)]` (rows L2-normalized on the fly unless
+        `normalized`), one pass over the candidate bytes, no (Q, K, d)
+        intermediate. `corpus` must be a contiguous 2-D f32 or f16 array
+        (the rerank corpus or its f16 shadow)."""
+        lib = self._load()
+        if lib is None:
+            raise RuntimeError("native rerank kernel unavailable")
+        code = {"float32": 0, "float16": 1}.get(str(corpus.dtype))
+        if code is None:
+            raise ValueError(f"unsupported rerank corpus dtype {corpus.dtype}")
+        if not corpus.flags["C_CONTIGUOUS"]:
+            raise ValueError("rerank corpus must be C-contiguous")
+        ids = np.ascontiguousarray(ids, np.int64)
+        queries = np.ascontiguousarray(queries, np.float32)
+        q, k_eff = ids.shape
+        d = corpus.shape[1]
+        assert queries.shape == (q, d)
+        out = np.empty((q, k_eff), np.float32)
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 32)
+        rc = lib.tpulmi_rerank_dot(
+            corpus.ctypes.data, code, ids.ctypes.data, queries.ctypes.data,
+            out.ctypes.data, q, k_eff, d, corpus.shape[0],
+            0 if normalized else 1, n_threads,
+        )
+        if rc != 0:
+            raise RuntimeError(f"native rerank_dot failed (rc={rc})")
+        return out
 
 
 native_layout = _NativeLayout()

@@ -169,3 +169,144 @@ extern "C" int tpulmi_scatter_rows(
   for (auto& t : threads) t.join();
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Fused candidate gather + dot for the exact host rerank.
+//
+// The Python rerank (tpulmi/index.py:_rerank_host) gathers Q*K_EFF corpus
+// rows into a (Q, K_EFF, d) block (~307 MB at the 10M shape) and runs a
+// batched matmul over it — two passes over the candidate bytes plus a large
+// transient allocation, ~0.34 s of every 10M search on this single-core
+// host. Here each candidate row is read ONCE and dotted against its query
+// on the fly (F16C+FMA vectorized when available), no intermediate block.
+// Sentinel ids (< 0) are clamped to row 0 exactly like the NumPy gather;
+// the caller overwrites those entries with the sentinel distance.
+// ---------------------------------------------------------------------------
+
+#if defined(__F16C__) && defined(__FMA__) && defined(__AVX__)
+#include <immintrin.h>
+#define TPULMI_VEC_F16 1
+#endif
+
+namespace {
+
+inline float dot_f32(const float* q, const float* row, int64_t d,
+                     int normalize) {
+#if defined(TPULMI_VEC_F16)
+  __m256 acc = _mm256_setzero_ps();
+  __m256 nrm = _mm256_setzero_ps();
+  int64_t l = 0;
+  for (; l + 8 <= d; l += 8) {
+    __m256 r = _mm256_loadu_ps(row + l);
+    acc = _mm256_fmadd_ps(_mm256_loadu_ps(q + l), r, acc);
+    if (normalize) nrm = _mm256_fmadd_ps(r, r, nrm);
+  }
+  float acc8[8], nrm8[8];
+  _mm256_storeu_ps(acc8, acc);
+  _mm256_storeu_ps(nrm8, nrm);
+  float s = 0.f, n2 = 0.f;
+  for (int u = 0; u < 8; ++u) { s += acc8[u]; n2 += nrm8[u]; }
+  for (; l < d; ++l) { s += q[l] * row[l]; if (normalize) n2 += row[l] * row[l]; }
+#else
+  float s8[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  float n8[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  int64_t l = 0;
+  for (; l + 8 <= d; l += 8) {
+    for (int u = 0; u < 8; ++u) {
+      s8[u] += q[l + u] * row[l + u];
+      if (normalize) n8[u] += row[l + u] * row[l + u];
+    }
+  }
+  float s = 0.f, n2 = 0.f;
+  for (int u = 0; u < 8; ++u) { s += s8[u]; n2 += n8[u]; }
+  for (; l < d; ++l) { s += q[l] * row[l]; if (normalize) n2 += row[l] * row[l]; }
+#endif
+  if (normalize) {
+    float nrm_s = std::sqrt(n2);
+    s /= (nrm_s > 1e-12f ? nrm_s : 1e-12f);
+  }
+  return s;
+}
+
+inline float dot_f16(const float* q, const uint16_t* row, int64_t d,
+                     int normalize) {
+#if defined(TPULMI_VEC_F16)
+  __m256 acc = _mm256_setzero_ps();
+  __m256 nrm = _mm256_setzero_ps();
+  int64_t l = 0;
+  for (; l + 8 <= d; l += 8) {
+    __m256 r = _mm256_cvtph_ps(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + l)));
+    acc = _mm256_fmadd_ps(_mm256_loadu_ps(q + l), r, acc);
+    if (normalize) nrm = _mm256_fmadd_ps(r, r, nrm);
+  }
+  float acc8[8], nrm8[8];
+  _mm256_storeu_ps(acc8, acc);
+  _mm256_storeu_ps(nrm8, nrm);
+  float s = 0.f, n2 = 0.f;
+  for (int u = 0; u < 8; ++u) { s += acc8[u]; n2 += nrm8[u]; }
+  for (; l < d; ++l) {
+    float r = f16_to_f32(row[l]);
+    s += q[l] * r;
+    if (normalize) n2 += r * r;
+  }
+#else
+  float s = 0.f, n2 = 0.f;
+  for (int64_t l = 0; l < d; ++l) {
+    float r = f16_to_f32(row[l]);
+    s += q[l] * r;
+    if (normalize) n2 += r * r;
+  }
+#endif
+  if (normalize) {
+    float nrm_s = std::sqrt(n2);
+    s /= (nrm_s > 1e-12f ? nrm_s : 1e-12f);
+  }
+  return s;
+}
+
+}  // namespace
+
+extern "C" int tpulmi_rerank_dot(
+    const void* corpus, int corpus_dtype,  // 0 = f32, 1 = f16
+    const int64_t* ids, const float* queries, float* out_sims,
+    int64_t q, int64_t k_eff, int64_t d, int64_t n_rows,
+    int normalize, int n_threads) {
+  if (corpus_dtype != 0 && corpus_dtype != 1) return 1;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 64) n_threads = 64;
+  auto run = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const float* qv = queries + i * d;
+      for (int64_t j = 0; j < k_eff; ++j) {
+        int64_t id = ids[i * k_eff + j];
+        if (id < 0) id = 0;  // sentinel: caller overwrites the distance
+        if (id >= n_rows) id = n_rows - 1;
+        float s;
+        if (corpus_dtype == 0) {
+          s = dot_f32(qv, reinterpret_cast<const float*>(corpus) + id * d,
+                      d, normalize);
+        } else {
+          s = dot_f16(qv,
+                      reinterpret_cast<const uint16_t*>(corpus) + id * d,
+                      d, normalize);
+        }
+        out_sims[i * k_eff + j] = s;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    run(0, q);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  const int64_t per = (q + n_threads - 1) / n_threads;
+  for (int ti = 0; ti < n_threads; ++ti) {
+    const int64_t lo = int64_t(ti) * per;
+    const int64_t hi = lo + per < q ? lo + per : q;
+    if (lo >= hi) break;
+    threads.emplace_back(run, lo, hi);
+  }
+  for (auto& t : threads) t.join();
+  return 0;
+}
