@@ -31,13 +31,22 @@ def ensure_backend(max_retries: int = 4, sleep_s: float = 45.0) -> None:
         os.environ.pop(_ENV, None)
         return
     except RuntimeError as e:
-        if "not in the list of known backends" not in str(e):
+        # Two observed transient modes (NOTES.md rule 9): the plugin never
+        # registered ("not in the list of known backends"), and the plugin
+        # registered but init hit the claim-release window of a previous
+        # TPU process ("UNAVAILABLE: TPU backend setup/compile error" —
+        # observed to hang ~25 min then fail). Both need a fresh
+        # interpreter: jax caches the failed-init state for the process.
+        transient = ("not in the list of known backends" in str(e)
+                     or "UNAVAILABLE" in str(e))
+        if not transient:
             raise
         n = int(os.environ.get(_ENV, "0"))
         if n >= max_retries:
             raise
         os.environ[_ENV] = str(n + 1)
-        print(f"# backend register failed (attempt {n + 1}/{max_retries}), "
-              f"re-exec in {sleep_s:.0f}s", file=sys.stderr, flush=True)
+        print(f"# backend init failed (attempt {n + 1}/{max_retries}: "
+              f"{str(e)[:80]}), re-exec in {sleep_s:.0f}s",
+              file=sys.stderr, flush=True)
         time.sleep(sleep_s)
         os.execv(sys.executable, [sys.executable] + sys.argv)
