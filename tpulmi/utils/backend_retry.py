@@ -45,8 +45,13 @@ def ensure_backend(max_retries: int = 4, sleep_s: float = 45.0) -> None:
         if n >= max_retries:
             raise
         os.environ[_ENV] = str(n + 1)
+        # Exponential backoff: a failed init in hang mode (UNAVAILABLE
+        # after ~30 min) may itself leave a half-open claim that wedges an
+        # immediate retry — observed 2026-08-18 when an instant relaunch
+        # after a clean exit chained three 30-min hang/fail cycles.
+        delay = sleep_s * (2 ** n)
         print(f"# backend init failed (attempt {n + 1}/{max_retries}: "
-              f"{str(e)[:80]}), re-exec in {sleep_s:.0f}s",
+              f"{str(e)[:80]}), re-exec in {delay:.0f}s",
               file=sys.stderr, flush=True)
-        time.sleep(sleep_s)
+        time.sleep(delay)
         os.execv(sys.executable, [sys.executable] + sys.argv)
