@@ -87,3 +87,24 @@ def test_stream_quantized_rerank(synthetic_small):
                                  search_config=scfg)
         np.testing.assert_array_equal(i_s, i_ref)
         np.testing.assert_allclose(d_s, d_ref, rtol=0, atol=0)
+
+
+def test_stream_hierarchical(synthetic_small):
+    """search_stream is inherited by HierarchicalIndex (joint router
+    dispatches through the same plan machinery); results must equal the
+    synchronous search per batch."""
+    from tpulmi.hierarchical import HierarchicalConfig, HierarchicalIndex
+
+    cfg = HierarchicalConfig(
+        n_groups=3,
+        inner=IndexConfig(n_categories=6, epochs=4, lr=0.003,
+                          model_type="MLP-5"),
+    )
+    hi = HierarchicalIndex(cfg)
+    hi.build(synthetic_small["data_nav"][:8000],
+             synthetic_small["data_search"][:8000])
+    batches = _batches(synthetic_small, [50, 50, 50])
+    got = list(hi.search_stream(batches, n_buckets=4, k=10, depth=2))
+    for (qn, qs), (d_s, i_s) in zip(batches, got):
+        d_ref, i_ref = hi.search(qn, qs, n_buckets=4, k=10)
+        np.testing.assert_array_equal(i_s, i_ref)
