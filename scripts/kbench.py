@@ -211,6 +211,10 @@ def main():
                    for c in os.environ["KB_CONFIGS"].split(",")]
     q_variants = ([False, True] if "--abq" in args
                   else ["--int8q" in args])
+    # --abm benches both top-k maintenance strategies (scalar-extract vs
+    # group-harvest) per config in one process (same session, same relay)
+    m_variants = (["scalar", "group"] if "--abm" in args
+                  else [os.environ.get("KB_MODE", "scalar")])
     elem = store.data_sorted.dtype.itemsize
     for qc, mc in configs:
         if align % mc:
@@ -228,6 +232,7 @@ def main():
         # for this fixed probe set (tpulmi/ops/pallas_topk.py docstring)
         wl_variants = [0, 1] if "--wl" in args else [0]
         for int8q in q_variants:
+         for mode in m_variants:
           for use_wl in wl_variants:
             if use_wl:
                 sc = np.bincount(probes_np.reshape(-1), minlength=C)
@@ -236,23 +241,25 @@ def main():
             else:
                 wl_pad = 0
 
-            def run(qc=qc, mc=mc, int8q=int8q, wl_pad=wl_pad):
+            def run(qc=qc, mc=mc, int8q=int8q, wl_pad=wl_pad, mode=mode):
                 return pallas_probe_search(
                     probes, queries, store, k=K, qc=qc, mc=mc,
                     max_chunks=-(-max_bucket // mc),
                     compute_dtype=jnp.bfloat16,
                     int8_queries=int8q,
                     extract_sub=int(os.environ.get("KB_SUB", 64)),
+                    extract_mode=mode,
                     wl_pad=wl_pad,
                 )
 
             try:
                 t = bench(run, outs)
             except Exception as e:  # noqa: BLE001 - VMEM OOM etc: skip config
-                print(f"# {qc}/{mc} wl={wl_pad} failed: {str(e)[:120]}",
-                      file=sys.stderr)
+                print(f"# {qc}/{mc} wl={wl_pad} mode={mode} failed: "
+                      f"{str(e)[:120]}", file=sys.stderr)
                 continue
             key = (f"pallas_qc{qc}_mc{mc}" + ("_int8q" if int8q else "")
+                   + (f"_{mode}" if mode != "scalar" else "")
                    + ("_wl" if use_wl else ""))
             results[key] = {
                 "s": round(t, 4),

@@ -23,7 +23,8 @@ def _setup(rng, n=4000, d=128, c=13, q=64, mc=256):
 
 
 @pytest.mark.parametrize("n_probes", [1, 3])
-def test_pallas_matches_xla(rng, n_probes):
+@pytest.mark.parametrize("mode", ["scalar", "group"])
+def test_pallas_matches_xla(rng, n_probes, mode):
     data, queries, labels, store = _setup(rng)
     c = store.n_categories
     probes = np.stack(
@@ -34,7 +35,7 @@ def test_pallas_matches_xla(rng, n_probes):
     d_p, i_p, ms = pallas_probe_search(
         jnp.asarray(probes), jnp.asarray(queries), store,
         k=10, qc=128, mc=mc, max_chunks=-(-max_bucket // mc),
-        compute_dtype=jnp.float32, interpret=True,
+        compute_dtype=jnp.float32, extract_mode=mode, interpret=True,
     )
     d_x, i_x = probe_search(probes, queries, store, k=10, data_chunk=mc)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
@@ -42,14 +43,15 @@ def test_pallas_matches_xla(rng, n_probes):
     assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
 
 
-def test_pallas_probe_all_equals_exact(rng):
+@pytest.mark.parametrize("mode", ["scalar", "group"])
+def test_pallas_probe_all_equals_exact(rng, mode):
     data, queries, labels, store = _setup(rng, n=2000, c=7, q=32)
     probes = np.tile(np.arange(7, dtype=np.int32), (32, 1))
     max_bucket = int(np.asarray(store.counts).max())
     d_p, i_p, _ = pallas_probe_search(
         jnp.asarray(probes), jnp.asarray(queries), store,
         k=10, qc=128, mc=256, max_chunks=-(-max_bucket // 256),
-        compute_dtype=jnp.float32, interpret=True,
+        compute_dtype=jnp.float32, extract_mode=mode, interpret=True,
     )
     want_d, _ = exact_knn(queries, data, k=10, normalized=True)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(want_d), atol=1e-5)
@@ -57,14 +59,15 @@ def test_pallas_probe_all_equals_exact(rng):
     np.testing.assert_allclose(chosen, np.asarray(want_d), atol=1e-5)
 
 
-def test_pallas_subk_sentinels(rng):
+@pytest.mark.parametrize("mode", ["scalar", "group"])
+def test_pallas_subk_sentinels(rng, mode):
     # tiny buckets: fewer than k rows probed -> sentinel rows with id -1
     data, queries, labels, store = _setup(rng, n=40, c=10, q=8)
     probes = rng.integers(0, 10, size=(8, 1)).astype(np.int32)
     d_p, i_p, _ = pallas_probe_search(
         jnp.asarray(probes), jnp.asarray(queries), store,
         k=10, qc=128, mc=256, max_chunks=1,
-        compute_dtype=jnp.float32, interpret=True,
+        compute_dtype=jnp.float32, extract_mode=mode, interpret=True,
     )
     d_p, i_p = np.asarray(d_p), np.asarray(i_p)
     for i in range(8):
@@ -109,8 +112,45 @@ def test_pallas_int8_queries_matches_xla(rng):
     assert overlap > 0.9
 
 
+@pytest.mark.parametrize("mode", ["scalar", "group"])
+def test_pallas_group_collisions_exact(rng, mode):
+    """Adversarial case for the group-harvest extraction: every one of a
+    query's true top-k sits in the SAME 128-lane column group (store rows
+    spaced exactly 128 apart inside one chunk), forcing the maximum number
+    of harvest rounds (one per collision). Results must still match the
+    XLA pipeline exactly."""
+    n, d, mc = 2048, 128, 1024
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(4, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    # plant each query's 10 nearest at rows {q*8, q*8+128, ..., q*8+9*128}
+    # — lane (q*8 % 128) of chunk 0, ascending distances
+    for qi in range(4):
+        for r in range(10):
+            row = qi * 8 + r * 128
+            v = queries[qi] + (0.01 + 0.002 * r) * data[row]
+            data[row] = v / np.linalg.norm(v)
+    labels = np.zeros(n, dtype=np.int32)
+    store = build_bucket_store(labels, data, 1, pad_rows=mc, row_align=mc)
+    probes = np.zeros((4, 1), dtype=np.int32)
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        k=10, qc=128, mc=mc, max_chunks=-(-n // mc),
+        compute_dtype=jnp.float32, extract_mode=mode, interpret=True,
+    )
+    d_x, i_x = probe_search(probes, queries, store, k=10, data_chunk=mc)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+    # the planted rows really are the top-k
+    for qi in range(4):
+        want = {qi * 8 + r * 128 for r in range(10)}
+        assert set(np.asarray(i_p)[qi].tolist()) == want
+
+
 @pytest.mark.parametrize("int8q", [False, True])
-def test_pallas_flat_worklist_matches_dense(rng, int8q):
+@pytest.mark.parametrize("mode", ["scalar", "group"])
+def test_pallas_flat_worklist_matches_dense(rng, int8q, mode):
     """wl_pad > 0 switches the kernel to the flat worklist grid (one step
     per live (block, chunk) pair — skew costs nothing). Results must be
     identical to the dense 2-D grid on a SKEWED store with empty probed
@@ -137,7 +177,8 @@ def test_pallas_flat_worklist_matches_dense(rng, int8q):
     max_bucket = int(np.asarray(store.counts).max())
     maxch = -(-max_bucket // mc)
     kw = dict(k=10, qc=128, mc=mc, max_chunks=maxch,
-              compute_dtype=jnp.float32, int8_queries=int8q, interpret=True)
+              compute_dtype=jnp.float32, int8_queries=int8q,
+              extract_mode=mode, interpret=True)
     d2, i2, ms2 = pallas_probe_search(
         jnp.asarray(probes), jnp.asarray(queries), store, **kw)
     df, if_, msf, total = pallas_probe_search(

@@ -962,7 +962,8 @@ class LearnedIndex:
                     scfg.compute_dtype,
                     (scfg.prune_after, plan.prune_eps) if plan.pruning
                     else None,
-                    scfg.probe_mass, scfg.int8_queries, plan.wl_pad)
+                    scfg.probe_mass, scfg.int8_queries, scfg.pallas_extract,
+                    plan.wl_pad)
         program = self._search_programs.get(prog_key)
         if program is None:
             program = make_search_program(
@@ -979,6 +980,7 @@ class LearnedIndex:
                 pallas_mc=scfg.pallas_mc,
                 pallas_max_chunks=plan.pallas_max_chunks,
                 pallas_int8_queries=scfg.int8_queries,
+                pallas_extract=scfg.pallas_extract,
                 pallas_wl_pad=plan.wl_pad,
                 prune_after=scfg.prune_after if plan.pruning else 0,
                 prune_eps=plan.prune_eps,

@@ -15,8 +15,13 @@ tpulmi/search.py is the portable reference implementation). One
   `pl.when` skips their compute — bucket-size skew costs empty grid steps,
   not FLOPs or bandwidth;
 - the MXU computes the (QC, MC) distance tile; a VMEM scratch accumulator
-  keeps each query's best k (k min-extraction passes on the VPU per tile,
-  ~1% of the matmul work at k=10, MC=512); TPU grid steps are sequential,
+  keeps each query's best k. Top-k maintenance has two strategies
+  (``extract_mode``): "scalar" runs threshold-gated min-extraction passes
+  (one extracted element per full-tile sweep), "group" harvests the minima
+  of all MC/128 lane-aligned column groups in one sweep and merges them on
+  a 128-lane candidate tile, re-sweeping only while merges still happen
+  (exact: a remaining improver is ≤ its group's current min, so a round
+  that merges nothing proves none remain). TPU grid steps are sequential,
   so the accumulator carries across a block's chunks and the output tile
   (indexed by query block) ends holding the final merge.
 
@@ -56,7 +61,7 @@ _DSTART, _NDB, _QLIM, _DLIM = range(4)
 
 def _kernel(s_ref, q_ref, d_ref, *rest,
             k: int, qc: int, mc: int, quantized: bool = False,
-            int8q: bool = False, sub: int = 64):
+            int8q: bool = False, sub: int = 64, mode: str = "scalar"):
     # dense 2-D grid: (query block, chunk); bucket-size skew costs empty
     # grid steps (compute gated off, DMA elided by the clamped index map)
     j = pl.program_id(0)   # query block
@@ -64,13 +69,13 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
     last_c = pl.num_programs(1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub)
+                 sub=sub, mode=mode)
 
 
 def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
                  k: int, qc: int, mc: int, cmax: int,
                  quantized: bool = False,
-                 int8q: bool = False, sub: int = 64):
+                 int8q: bool = False, sub: int = 64, mode: str = "scalar"):
     # flat worklist grid: one step per LIVE (query block, chunk) pair —
     # bucket-size skew costs nothing. wl_ref (wl_pad,) holds the
     # block-major worklist PACKED one int32 per item (j*cmax + c — SMEM is
@@ -85,12 +90,12 @@ def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
     last_c = jnp.maximum(s_ref[_NDB, j], 1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub)
+                 sub=sub, mode=mode)
 
 
 def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  *, k: int, qc: int, mc: int, quantized: bool,
-                 int8q: bool, sub: int):
+                 int8q: bool, sub: int, mode: str):
     if quantized:
         sc_ref, out_d_ref, out_i_ref, best_d, best_i = rest
     else:
@@ -179,6 +184,93 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
 
         SUB = min(sub, qc)
         sub_lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, K_LANE), 1)
+        if mode == "group":
+            # Group-harvest extraction: the scalar mode below pays ~3
+            # full-(SUB, mc) passes (min, argmin, knockout) per EXTRACTED
+            # element — at k=10 the VPU, not HBM, floors the kernel (the
+            # k=1 ablation measured 33% of kernel time in these passes,
+            # NOTES.md round-3 facts). Here one sweep harvests the minimum
+            # of every 128-lane column group simultaneously: slice the tile
+            # into mc/128 lane-aligned (SUB, 128) slabs, track the running
+            # per-lane min and WHICH slab won (one compare + two selects per
+            # slab — ~1 tile pass total), knock all winners out (one select
+            # pass), then merge the 128 candidates into the running top-k on
+            # a 128-lane tile where each pass costs mc/128× less than a
+            # full-tile pass. One round handles every improver that is the
+            # minimum of its group; only same-group collisions among the
+            # final top-k force another round (rare: k=10 candidates spread
+            # over 128 groups), detected exactly by "did this round merge
+            # anything" — a remaining improver is always <= its group's
+            # current min, so a non-merging round proves none remain.
+            width = mc // K_LANE
+            qmask = qrow < q_lim                               # (qc,)
+            for g in range(qc // SUB):
+                lo = g * SUB
+                n_iter = jnp.max(cnt[lo:lo + SUB])
+                qm_sub = qmask[lo:lo + SUB]
+
+                @pl.when(n_iter > 0)
+                def _(g=g, lo=lo, n_iter=n_iter, qm_sub=qm_sub):
+                    def round_body(state):
+                        r, _, dd, bd, bi = state
+                        # sweep: per-lane-group min + winning slab index
+                        m = dd[:, :K_LANE]
+                        la = jnp.zeros((SUB, K_LANE), jnp.int32)
+                        for w in range(1, width):
+                            sl = dd[:, w * K_LANE:(w + 1) * K_LANE]
+                            upd = sl < m
+                            m = jnp.where(upd, sl, m)
+                            la = jnp.where(upd, w, la)
+                        # knock every harvested group-min out of the tile
+                        # (la uniquely addresses one element per (row, lane);
+                        # strict `<` keeps the first slab on ties, so a tied
+                        # duplicate survives for a later round)
+                        dd = jnp.concatenate(
+                            [jnp.where(la == w, SENTINEL_DIST,
+                                       dd[:, w * K_LANE:(w + 1) * K_LANE])
+                             for w in range(width)], axis=1)
+                        cg = la * K_LANE + sub_lane     # within-chunk column
+                        worst = jnp.max(bd[:, :k], axis=1)
+                        ccnt = jnp.sum(
+                            (m < worst[:, None]).astype(jnp.int32), axis=1)
+                        ccnt = jnp.where(qm_sub, jnp.minimum(ccnt, k), 0)
+                        n_small = jnp.max(ccnt)
+
+                        def small(_, st):
+                            mm, bd_, bi_ = st
+                            v = jnp.min(mm, axis=1)                  # (SUB,)
+                            a = jnp.argmin(mm, axis=1).astype(jnp.int32)
+                            sel = sub_lane == a[:, None]
+                            cid = jnp.sum(jnp.where(sel, cg, 0), axis=1)
+                            m_id = d_blk * mc + cid
+                            worst_ = jnp.max(bd_[:, :k], axis=1)
+                            wi = jnp.argmax(
+                                bd_[:, :k], axis=1).astype(jnp.int32)
+                            better = v < worst_
+                            hit = jnp.logical_and(
+                                sub_lane == wi[:, None], better[:, None])
+                            bd_ = jnp.where(hit, v[:, None], bd_)
+                            bi_ = jnp.where(hit, m_id[:, None], bi_)
+                            mm = jnp.where(sel, SENTINEL_DIST, mm)
+                            return mm, bd_, bi_
+
+                        _, bd, bi = jax.lax.fori_loop(
+                            0, n_small, small, (m, bd, bi))
+                        return r + 1, n_small > 0, dd, bd, bi
+
+                    def cond(state):
+                        r, merged, _, _, _ = state
+                        return jnp.logical_and(r < n_iter, merged)
+
+                    _, _, _, bd, bi = jax.lax.while_loop(
+                        cond, round_body,
+                        (jnp.int32(0), jnp.bool_(True), dists[lo:lo + SUB],
+                         bd0[lo:lo + SUB], best_i[lo:lo + SUB]),
+                    )
+                    best_d[lo:lo + SUB] = bd
+                    best_i[lo:lo + SUB] = bi
+            return
+
         sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, mc), 1)
         for g in range(qc // SUB):
             lo = g * SUB
@@ -226,7 +318,8 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
 @partial(
     jax.jit,
     static_argnames=("k", "qc", "mc", "max_chunks", "compute_dtype",
-                     "int8_queries", "extract_sub", "wl_pad", "interpret"),
+                     "int8_queries", "extract_sub", "extract_mode", "wl_pad",
+                     "interpret"),
 )
 def pallas_probe_search(
     probe_buckets: jnp.ndarray,   # (Q, P) int32
@@ -240,6 +333,7 @@ def pallas_probe_search(
     compute_dtype=jnp.bfloat16,
     int8_queries: bool = False,
     extract_sub: int = 64,        # extraction sub-group rows (8..128)
+    extract_mode: str = "scalar",  # "scalar" | "group" top-k maintenance
     wl_pad: int = 0,              # flat-worklist grid length (0 = 2-D grid)
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
@@ -292,6 +386,12 @@ def pallas_probe_search(
     if qc % min(extract_sub, qc) != 0:
         raise ValueError(
             f"qc={qc} must be divisible by extract_sub={extract_sub}"
+        )
+    if extract_mode not in ("scalar", "group"):
+        raise ValueError(f"unknown extract_mode {extract_mode!r}")
+    if extract_mode == "group" and mc % K_LANE != 0:
+        raise ValueError(
+            f"extract_mode='group' needs mc % {K_LANE} == 0, got mc={mc}"
         )
 
     # ---- group slots by bucket, block-aligned: every query block belongs
@@ -423,7 +523,8 @@ def pallas_probe_search(
             scratch_shapes=scratch,
         )
         kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
-                         quantized=quantized, int8q=int8q, sub=extract_sub)
+                         quantized=quantized, int8q=int8q, sub=extract_sub,
+                         mode=extract_mode)
     else:
         def data_block_index(j, c, s):
             return (
@@ -450,7 +551,7 @@ def pallas_probe_search(
             scratch_shapes=scratch,
         )
         kernel = partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized,
-                         int8q=int8q, sub=extract_sub)
+                         int8q=int8q, sub=extract_sub, mode=extract_mode)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

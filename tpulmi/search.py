@@ -404,6 +404,7 @@ def make_search_program(
     pallas_mc: int = 512,
     pallas_max_chunks: int = 1,
     pallas_int8_queries: bool = False,
+    pallas_extract: str = "scalar",
     pallas_wl_pad: int = 0,
     prune_after: int = 0,
     prune_eps: float = 0.0,
@@ -466,6 +467,7 @@ def make_search_program(
                 max_chunks=pallas_max_chunks,
                 compute_dtype=compute_dtype or jnp.float32,
                 int8_queries=pallas_int8_queries,
+                extract_mode=pallas_extract,
                 wl_pad=pallas_wl_pad,
                 # trace-time constant: Mosaic has no CPU target, so the
                 # explicit pallas backend falls back to interpret mode

@@ -90,6 +90,13 @@ class SearchConfig:
     # scales tiling and amortizes per-tile overheads.
     pallas_qc: int = 512   # query-block rows per kernel tile
     pallas_mc: int = 1024  # data-block rows per kernel tile
+    # Top-k maintenance strategy inside the kernel: "scalar" extracts one
+    # per-query minimum per (min, argmin, knockout) sweep of the distance
+    # tile; "group" harvests the minima of all mc/128 lane-aligned column
+    # groups in ONE sweep and merges them on a 128-lane tile, repeating
+    # only on same-group collisions among the top-k (kbench: the scalar
+    # loop is ~33% of kernel time at the 20M shape, NOTES.md).
+    pallas_extract: str = "scalar"
     # int8 stores + pallas backend only: quantize the query tiles too and
     # run the distance matmul int8 x int8 -> int32 on the MXU (2x the bf16
     # rate on v5e, no VMEM dequant of the data tile). Ranking is exact
