@@ -215,6 +215,10 @@ def main():
     # group-harvest) per config in one process (same session, same relay)
     m_variants = (["scalar", "group"] if "--abm" in args
                   else [os.environ.get("KB_MODE", "scalar")])
+    # KB_SUBS=64,128 sweeps extraction sub-group sizes (else KB_SUB once;
+    # 0 = the kernel's per-mode default)
+    sub_variants = [int(s) for s in os.environ.get(
+        "KB_SUBS", os.environ.get("KB_SUB", "0")).split(",")]
     elem = store.data_sorted.dtype.itemsize
     for qc, mc in configs:
         if align % mc:
@@ -233,7 +237,10 @@ def main():
         wl_variants = [0, 1] if "--wl" in args else [0]
         for int8q in q_variants:
          for mode in m_variants:
-          for use_wl in wl_variants:
+          for sub in sub_variants:
+           if qc % min(sub, qc):
+               continue
+           for use_wl in wl_variants:
             if use_wl:
                 sc = np.bincount(probes_np.reshape(-1), minlength=C)
                 ndb = np.maximum(-(-counts_host // mc), 1)
@@ -241,13 +248,14 @@ def main():
             else:
                 wl_pad = 0
 
-            def run(qc=qc, mc=mc, int8q=int8q, wl_pad=wl_pad, mode=mode):
+            def run(qc=qc, mc=mc, int8q=int8q, wl_pad=wl_pad, mode=mode,
+                    sub=sub):
                 return pallas_probe_search(
                     probes, queries, store, k=K, qc=qc, mc=mc,
                     max_chunks=-(-max_bucket // mc),
                     compute_dtype=jnp.bfloat16,
                     int8_queries=int8q,
-                    extract_sub=int(os.environ.get("KB_SUB", 64)),
+                    extract_sub=sub,
                     extract_mode=mode,
                     wl_pad=wl_pad,
                 )
@@ -260,6 +268,7 @@ def main():
                 continue
             key = (f"pallas_qc{qc}_mc{mc}" + ("_int8q" if int8q else "")
                    + (f"_{mode}" if mode != "scalar" else "")
+                   + (f"_sub{sub}" if len(sub_variants) > 1 else "")
                    + ("_wl" if use_wl else ""))
             results[key] = {
                 "s": round(t, 4),

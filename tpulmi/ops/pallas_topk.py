@@ -168,19 +168,19 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
         # mean into a ~5 per-block max at qc=512).
         bd0 = best_d[:]
         worst0 = jnp.max(bd0[:, :k], axis=1)               # (qc,)
-        cnt = jnp.sum(
+        cnt_raw = jnp.sum(
             (dists < worst0[:, None]).astype(jnp.int32), axis=1
         )                                                  # (qc,)
-        # per query only its k smallest improvers can enter the buffer, and
-        # extraction removes per-query minima in ascending order, so
-        # max_q min(cnt_q, k) passes per group are exact (not approximate)
-        cnt = jnp.minimum(cnt, k)
         # padded query rows (the slot tail of the bucket's last block) must
         # never drive the extraction iteration count: zero their counts.
         # Their scratch rows may fill with garbage candidates — harmless,
         # the scatter after the kernel drops non-live slots.
         qrow = jax.lax.broadcasted_iota(jnp.int32, (qc, 1), 0)[:, 0]
-        cnt = jnp.where(qrow < q_lim, cnt, 0)
+        cnt_raw = jnp.where(qrow < q_lim, cnt_raw, 0)
+        # per query only its k smallest improvers can enter the buffer, and
+        # extraction removes per-query minima in ascending order, so
+        # max_q min(cnt_q, k) passes per group are exact (not approximate)
+        cnt = jnp.minimum(cnt_raw, k)
 
         SUB = min(sub, qc)
         sub_lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, K_LANE), 1)
@@ -208,67 +208,99 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                 lo = g * SUB
                 n_iter = jnp.max(cnt[lo:lo + SUB])
                 qm_sub = qmask[lo:lo + SUB]
+                raw_sub = cnt_raw[lo:lo + SUB]
 
                 @pl.when(n_iter > 0)
-                def _(g=g, lo=lo, n_iter=n_iter, qm_sub=qm_sub):
-                    def round_body(state):
-                        r, _, dd, bd, bi = state
-                        # sweep: per-lane-group min + winning slab index
-                        m = dd[:, :K_LANE]
-                        la = jnp.zeros((SUB, K_LANE), jnp.int32)
-                        for w in range(1, width):
-                            sl = dd[:, w * K_LANE:(w + 1) * K_LANE]
-                            upd = sl < m
-                            m = jnp.where(upd, sl, m)
-                            la = jnp.where(upd, w, la)
-                        # knock every harvested group-min out of the tile
-                        # (la uniquely addresses one element per (row, lane);
-                        # strict `<` keeps the first slab on ties, so a tied
-                        # duplicate survives for a later round)
+                def _(g=g, lo=lo, n_iter=n_iter, qm_sub=qm_sub,
+                      raw_sub=raw_sub):
+                    dd = dists[lo:lo + SUB]
+                    # sweep: per-lane-group min + winning slab index
+                    m = dd[:, :K_LANE]
+                    la = jnp.zeros((SUB, K_LANE), jnp.int32)
+                    for w in range(1, width):
+                        sl = dd[:, w * K_LANE:(w + 1) * K_LANE]
+                        upd = sl < m
+                        m = jnp.where(upd, sl, m)
+                        la = jnp.where(upd, w, la)
+                    cg = la * K_LANE + sub_lane         # within-chunk column
+                    worst0_sub = worst0[lo:lo + SUB]
+                    ccnt_raw = jnp.where(
+                        qm_sub,
+                        jnp.sum((m < worst0_sub[:, None]).astype(jnp.int32),
+                                axis=1),
+                        0)
+                    n_small = jnp.max(jnp.minimum(ccnt_raw, k))
+
+                    def small(_, st):
+                        mm, bd_, bi_ = st
+                        v = jnp.min(mm, axis=1)                  # (SUB,)
+                        a = jnp.argmin(mm, axis=1).astype(jnp.int32)
+                        sel = sub_lane == a[:, None]
+                        cid = jnp.sum(jnp.where(sel, cg, 0), axis=1)
+                        m_id = d_blk * mc + cid
+                        worst_ = jnp.max(bd_[:, :k], axis=1)
+                        wi = jnp.argmax(
+                            bd_[:, :k], axis=1).astype(jnp.int32)
+                        better = v < worst_
+                        hit = jnp.logical_and(
+                            sub_lane == wi[:, None], better[:, None])
+                        bd_ = jnp.where(hit, v[:, None], bd_)
+                        bi_ = jnp.where(hit, m_id[:, None], bi_)
+                        mm = jnp.where(sel, SENTINEL_DIST, mm)
+                        return mm, bd_, bi_
+
+                    _, bd, bi = jax.lax.fori_loop(
+                        0, n_small, small,
+                        (m, bd0[lo:lo + SUB], best_i[lo:lo + SUB]))
+                    best_d[lo:lo + SUB] = bd
+                    best_i[lo:lo + SUB] = bi
+
+                    # Completeness: ccnt_raw counts improver-CONTAINING
+                    # groups (vs worst0 — the buffer is un-merged at sweep
+                    # time) while raw_sub counts improver ELEMENTS — equal
+                    # iff no two improvers share a group, i.e. the harvest
+                    # held ALL of them and the ascending merge above is
+                    # exactly the scalar algorithm on the full improver
+                    # set. Collisions (rare: k=10 candidates over 128
+                    # groups) fall back to the scalar extraction loop on
+                    # the tile with the harvested minima knocked out.
+                    @pl.when(jnp.any(ccnt_raw != raw_sub))
+                    def _(dd=dd, la=la, bd=bd, bi=bi, lo=lo, qm_sub=qm_sub):
+                        # la uniquely addresses one element per (row, lane);
+                        # strict `<` kept the first slab on value ties, so a
+                        # tied duplicate survives for the fallback
                         dd = jnp.concatenate(
                             [jnp.where(la == w, SENTINEL_DIST,
                                        dd[:, w * K_LANE:(w + 1) * K_LANE])
                              for w in range(width)], axis=1)
-                        cg = la * K_LANE + sub_lane     # within-chunk column
-                        worst = jnp.max(bd[:, :k], axis=1)
-                        ccnt = jnp.sum(
-                            (m < worst[:, None]).astype(jnp.int32), axis=1)
-                        ccnt = jnp.where(qm_sub, jnp.minimum(ccnt, k), 0)
-                        n_small = jnp.max(ccnt)
+                        worst1 = jnp.max(bd[:, :k], axis=1)
+                        cnt2 = jnp.sum(
+                            (dd < worst1[:, None]).astype(jnp.int32), axis=1)
+                        cnt2 = jnp.where(qm_sub, jnp.minimum(cnt2, k), 0)
 
-                        def small(_, st):
-                            mm, bd_, bi_ = st
-                            v = jnp.min(mm, axis=1)                  # (SUB,)
-                            a = jnp.argmin(mm, axis=1).astype(jnp.int32)
-                            sel = sub_lane == a[:, None]
-                            cid = jnp.sum(jnp.where(sel, cg, 0), axis=1)
-                            m_id = d_blk * mc + cid
+                        def extract(_, state):
+                            dd_, bd_, bi_ = state
+                            mv = jnp.min(dd_, axis=1)
+                            a = jnp.argmin(dd_, axis=1).astype(jnp.int32)
+                            m_id = d_blk * mc + a
                             worst_ = jnp.max(bd_[:, :k], axis=1)
                             wi = jnp.argmax(
                                 bd_[:, :k], axis=1).astype(jnp.int32)
-                            better = v < worst_
+                            better = mv < worst_
                             hit = jnp.logical_and(
                                 sub_lane == wi[:, None], better[:, None])
-                            bd_ = jnp.where(hit, v[:, None], bd_)
+                            bd_ = jnp.where(hit, mv[:, None], bd_)
                             bi_ = jnp.where(hit, m_id[:, None], bi_)
-                            mm = jnp.where(sel, SENTINEL_DIST, mm)
-                            return mm, bd_, bi_
+                            dd_ = jnp.where(
+                                jax.lax.broadcasted_iota(
+                                    jnp.int32, (SUB, mc), 1) == a[:, None],
+                                SENTINEL_DIST, dd_)
+                            return dd_, bd_, bi_
 
                         _, bd, bi = jax.lax.fori_loop(
-                            0, n_small, small, (m, bd, bi))
-                        return r + 1, n_small > 0, dd, bd, bi
-
-                    def cond(state):
-                        r, merged, _, _, _ = state
-                        return jnp.logical_and(r < n_iter, merged)
-
-                    _, _, _, bd, bi = jax.lax.while_loop(
-                        cond, round_body,
-                        (jnp.int32(0), jnp.bool_(True), dists[lo:lo + SUB],
-                         bd0[lo:lo + SUB], best_i[lo:lo + SUB]),
-                    )
-                    best_d[lo:lo + SUB] = bd
-                    best_i[lo:lo + SUB] = bi
+                            0, jnp.max(cnt2), extract, (dd, bd, bi))
+                        best_d[lo:lo + SUB] = bd
+                        best_i[lo:lo + SUB] = bi
             return
 
         sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, mc), 1)
@@ -332,7 +364,13 @@ def pallas_probe_search(
     max_chunks: int = 1,          # static ceil(max_bucket / mc)
     compute_dtype=jnp.bfloat16,
     int8_queries: bool = False,
-    extract_sub: int = 64,        # extraction sub-group rows (8..128)
+    extract_sub: int = 0,         # extraction sub-group rows; 0 = per-mode
+                                  # optimum (min(qc, 256) for "group" — the
+                                  # collision coupling is a rare fallback
+                                  # there, so near-block groups win: kbench
+                                  # 19.3 ms @ qc192/sub192, 25.3 @ qc512/
+                                  # sub256, vs 33.2 @ qc512/sub512; 64 for
+                                  # "scalar", the round-3 kbench A/B)
     extract_mode: str = "scalar",  # "scalar" | "group" top-k maintenance
     wl_pad: int = 0,              # flat-worklist grid length (0 = 2-D grid)
     interpret: bool = False,
@@ -383,6 +421,13 @@ def pallas_probe_search(
     if store.data_sorted.shape[0] % mc != 0:
         raise ValueError("store rows not a multiple of the data block; "
                          "build the store with row_align a multiple of mc")
+    if extract_sub == 0:
+        if extract_mode == "group":
+            # largest divisor of qc that fits the measured ≤256 optimum
+            extract_sub = (qc if qc <= 256 else
+                           max(s for s in range(8, 257) if qc % s == 0))
+        else:
+            extract_sub = 64
     if qc % min(extract_sub, qc) != 0:
         raise ValueError(
             f"qc={qc} must be divisible by extract_sub={extract_sub}"
