@@ -147,7 +147,7 @@ def main():
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
     def run_once(probes, bq, rerank_dtype="float32", probe_mass=None,
-                 worklist=False):
+                 worklist=False, rerank_extra=10):
         # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
         # query tiles (exact rerank absorbs the quantization noise);
         # qc=192 reads each bucket's data once at the ~164-slot typical
@@ -158,7 +158,8 @@ def main():
                             pallas_qc=192, pallas_mc=1024, int8_queries=True,
                             rerank_dtype=rerank_dtype,
                             probe_mass=probe_mass,
-                            pallas_worklist=worklist)
+                            pallas_worklist=worklist,
+                            rerank_extra=rerank_extra)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg,
                   queries_search_host=q_host)  # warmup/compile
@@ -257,6 +258,26 @@ def main():
               file=sys.stderr, flush=True)
         if rm >= RECALL_GATE and tm < t_search:
             t_search, recall, probe_mass_used = tm, rm, mass
+    # rerank-depth A/B: rerank_extra sets BOTH the kernel's tracked top-k
+    # width (k_eff = k + extra — a narrower buffer tightens the improver
+    # threshold, fewer extraction merges) and the single-core host
+    # rerank's gather volume. The default 10 is conservative; adopt a
+    # shallower depth when it keeps the gate and wins time.
+    rerank_extra_used = 10
+    for extra in (6, 4):
+        try:
+            te, re_ = run_once(probes_used, batch_q["bq"],
+                               rerank_dtype=rerank_dtype_used,
+                               probe_mass=probe_mass_used,
+                               worklist=worklist_used, rerank_extra=extra)
+        except Exception as e:  # noqa: BLE001 — keep the current depth
+            print(f"# rerank_extra={extra} failed: {e}", file=sys.stderr,
+                  flush=True)
+            continue
+        print(f"# rerank_extra={extra}: {te:.3f}s recall {re_:.4f}",
+              file=sys.stderr, flush=True)
+        if re_ >= RECALL_GATE and te < t_search:
+            t_search, recall, rerank_extra_used = te, re_, extra
     qps = N_QUERIES / t_search
 
     # Sustained serving throughput at the winning config: the pipelined
@@ -270,7 +291,7 @@ def main():
             k=K, n_buckets=probes_used, batch_queries=batch_q["bq"],
             pallas_qc=192, pallas_mc=1024, int8_queries=True,
             rerank_dtype=rerank_dtype_used, probe_mass=probe_mass_used,
-            pallas_worklist=worklist_used)
+            pallas_worklist=worklist_used, rerank_extra=rerank_extra_used)
         batches = [(q_nav, q_search, q_host)] * STREAM_BATCHES
         s_ids = None
         for _ in range(2):  # second pass is the warm/steady measurement
@@ -338,6 +359,7 @@ def main():
         "n_rows": N,
         "store": "int8+rerank",
         "rerank_dtype": rerank_dtype_used,
+        "rerank_extra": rerank_extra_used,
         "probe_mass": probe_mass_used,
         "pallas_worklist": worklist_used,
         "ref_search_s_10M": REF_SEARCH_S,
