@@ -64,6 +64,7 @@ def run(
     prune: bool = False,
     rerank_dtype: str = "float32",
     pallas_worklist: bool = False,
+    pallas_extract: str = "group",
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
@@ -164,7 +165,8 @@ def run(
         log.info("index checkpoint saved to %s", path)
 
     scfg = None
-    if probe_mass or prune or rerank_dtype != "float32" or pallas_worklist:
+    if (probe_mass or prune or rerank_dtype != "float32" or pallas_worklist
+            or pallas_extract != "group"):
         from tpulmi.utils.config import SearchConfig
 
         # Threshold pruning lives on the XLA pipeline only; with the default
@@ -181,6 +183,7 @@ def run(
             backend="xla" if prune else "auto",
             rerank_dtype=rerank_dtype,
             pallas_worklist=pallas_worklist,
+            pallas_extract=pallas_extract,
         )
     for n_buckets in n_buckets_list:
         start = time.perf_counter()
@@ -277,6 +280,13 @@ def main(argv=None):
                              "worklist grid (identical results; removes "
                              "the empty grid steps bucket-size skew pays "
                              "on the dense grid)")
+    parser.add_argument("--pallas-extract", default="group",
+                        choices=["group", "scalar"],
+                        help="Probe-kernel top-k maintenance: 'group' "
+                             "harvests all 128-lane column-group minima "
+                             "per sweep (hardware default); 'scalar' "
+                             "extracts one minimum per sweep (identical "
+                             "results)")
     args = parser.parse_args(argv)
 
     run(
@@ -304,6 +314,7 @@ def main(argv=None):
         prune=args.prune,
         rerank_dtype=args.rerank_dtype,
         pallas_worklist=args.pallas_worklist,
+        pallas_extract=args.pallas_extract,
     )
 
 
