@@ -148,6 +148,25 @@ def test_pallas_group_collisions_exact(rng, mode):
         assert set(np.asarray(i_p)[qi].tolist()) == want
 
 
+def test_pallas_group_default_sub_divides_qc(rng):
+    """extract_sub=0 under group mode resolves to the largest divisor of
+    qc that is <= 256 (the hardware optimum), so a qc like 384 must not
+    trip the divisibility check."""
+    data, queries, labels, store = _setup(rng)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:2] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        k=10, qc=384, mc=256, max_chunks=-(-max_bucket // 256),
+        compute_dtype=jnp.float32, extract_mode="group", interpret=True,
+    )
+    d_x, i_x = probe_search(probes, queries, store, k=10, data_chunk=256)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+
+
 @pytest.mark.parametrize("int8q", [False, True])
 @pytest.mark.parametrize("mode", ["scalar", "group"])
 def test_pallas_flat_worklist_matches_dense(rng, int8q, mode):
