@@ -196,12 +196,12 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
             # slab — ~1 tile pass total), knock all winners out (one select
             # pass), then merge the 128 candidates into the running top-k on
             # a 128-lane tile where each pass costs mc/128× less than a
-            # full-tile pass. One round handles every improver that is the
-            # minimum of its group; only same-group collisions among the
-            # final top-k force another round (rare: k=10 candidates spread
-            # over 128 groups), detected exactly by "did this round merge
-            # anything" — a remaining improver is always <= its group's
-            # current min, so a non-merging round proves none remain.
+            # full-tile pass. The harvest is provably complete when no two
+            # improvers share a group (candidate-improver count equals the
+            # tile-improver count, both vs the pre-merge threshold); the
+            # rare collision (k=10 improvers spread over 128 groups) falls
+            # back to the scalar extraction loop below with the harvested
+            # winners knocked out.
             width = mc // K_LANE
             qmask = qrow < q_lim                               # (qc,)
             for g in range(qc // SUB):
