@@ -519,6 +519,9 @@ class LearnedIndex:
 
     def _rerank_host(self, dists, ids, queries_search, k: int,
                      host_queries=None, rerank_dtype: str = "float32"):
+        # `dists` is intentionally unused (and may be None): every kept
+        # candidate's distance is recomputed exactly from the host corpus,
+        # which is why the caller never downloads the quantized ones.
         """Exact top-k over the quantized candidates: gather the candidate
         rows from the host corpus, recompute full-precision cosine
         distances, reorder, truncate to k. ids are 0-based, -1 = empty.
@@ -770,14 +773,18 @@ class LearnedIndex:
             if sstore.scales is not None:
                 args.append(sstore.scales)
             dists, ids, max_slots = program(*args)
-            dists, ids, max_slots = jax.device_get((dists, ids, max_slots))
+            if rerank:  # quantized device dists are recomputed on host
+                ids, max_slots = jax.device_get((ids, max_slots))
+            else:
+                dists, ids, max_slots = jax.device_get(
+                    (dists, ids, max_slots))
             if int(max_slots) <= qpb_pad:
                 self._qpb_pads[("sharded", q, n_buckets)] = qpb_pad
                 break
             qpb_pad = size_class(int(max_slots))
         if rerank:
             dists, ids = self._rerank_host(
-                np.asarray(dists), np.asarray(ids), queries_search, k,
+                None, np.asarray(ids), queries_search, k,
                 host_queries=host_queries, rerank_dtype=scfg.rerank_dtype,
             )
         ids = np.where(ids < 0, 0, ids)
@@ -854,7 +861,7 @@ class LearnedIndex:
             out = program(
                 built.classifier.params, queries_nav, queries_search, built.store
             )
-            got = jax.device_get(out)
+            got = self._fetch_result(out, plan)
             status = self._absorb_result(plan, n_buckets, got)
             if status == "retry":
                 continue
@@ -989,6 +996,16 @@ class LearnedIndex:
             self._search_programs[prog_key] = program
         return program
 
+    def _fetch_result(self, out, plan):
+        """Fetch a search program's result tuple from device. When the plan
+        reranks, the quantized device distances are dead weight — the host
+        rerank recomputes every kept candidate's distance exactly — so their
+        download (Q x k_eff f32, the largest leaf, e.g. 800 KB at 10k x 20;
+        ~65 ms at this environment's relay rates) is skipped entirely."""
+        if plan.rerank:
+            return (None,) + tuple(jax.device_get(out[1:]))
+        return jax.device_get(out)
+
     def _absorb_result(self, plan, n_buckets: int, got):
         """Unpack one fetched program result against the plan. Returns
         (dists, ids) on success, or "retry" after growing the plan's
@@ -1023,8 +1040,10 @@ class LearnedIndex:
         """Host post-processing shared by `search` and `search_stream`:
         optional exact rerank, sentinel clamping, 1-based ids."""
         if plan.rerank:
+            # dists may be None here: _fetch_result skips the quantized
+            # device distances (the rerank recomputes every kept one)
             dists, ids = self._rerank_host(
-                np.asarray(dists), np.asarray(ids), queries_search, k,
+                None, np.asarray(ids), queries_search, k,
                 host_queries=queries_search_host,
                 rerank_dtype=scfg.rerank_dtype,
             )
@@ -1091,7 +1110,7 @@ class LearnedIndex:
 
         def sync_one():
             qn, qs, qh, out, plan = pending.popleft()
-            status = self._absorb_result(plan, nb, jax.device_get(out))
+            status = self._absorb_result(plan, nb, self._fetch_result(out, plan))
             if status == "retry":
                 # pad overflow: the plan (and its cache) already grew;
                 # redo just this batch synchronously
