@@ -184,6 +184,22 @@ def main():
             t_search, recall, best = t16, r16, cfg16
     except Exception as e:  # noqa: BLE001
         print(f"# rerank_f16 failed: {e}", file=sys.stderr, flush=True)
+    # rerank-depth A/B: rerank_extra sets both the kernel's tracked top-k
+    # width (k_eff = k + extra) and the single-core host rerank's gather
+    # volume — adopt a shallower depth when it keeps the gate and wins
+    import dataclasses
+    for extra in (6, 4):
+        try:
+            cfge = dataclasses.replace(best, rerank_extra=extra)
+            te, re_ = run_cfg(cfge, runs=2)
+        except Exception as e:  # noqa: BLE001
+            print(f"# rerank_extra={extra} failed: {e}", file=sys.stderr,
+                  flush=True)
+            continue
+        print(f"# rerank_extra={extra}: {te:.3f}s recall {re_:.4f}",
+              file=sys.stderr, flush=True)
+        if re_ >= RECALL_GATE and te < t_search:
+            t_search, recall, best = te, re_, cfge
     # diagnostic: device-only time (rerank off) splits the wall into
     # device probe vs host rerank; not the headline (lower recall)
     try:
@@ -272,6 +288,7 @@ def main():
         "search_s_10k_queries": round(t_search, 4),
         "probe_mass": mass_used,
         "rerank_dtype": best.rerank_dtype,
+        "rerank_extra": best.rerank_extra,
         "pallas_worklist": wl,
         "build_s": round(t_build, 2),
         "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
