@@ -93,3 +93,29 @@ def test_size_class():
     assert size_class(128) == 128
     assert size_class(129) == 256
     assert size_class(1000) == 1024
+
+
+def test_fetch_dtype_narrows_wire_not_ranking(synthetic_small):
+    """fetch_dtype casts only the fetched distance leaf: ids must be
+    bit-identical to the exact-f32 fetch, distances equal to f16 rounding,
+    and the public dtype stays float32."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    cfg = IndexConfig(n_categories=24, epochs=6, lr=0.003, model_type="MLP-5")
+    li = LearnedIndex(cfg)
+    li.build(synthetic_small["data_nav"], synthetic_small["data_search"])
+    qn = synthetic_small["queries_nav"][:64]
+    qs = synthetic_small["queries_search"][:64]
+
+    d_ref, i_ref = li.search(qn, qs, n_buckets=4, k=10)
+    scfg = SearchConfig(k=10, n_buckets=4, fetch_dtype="float16")
+    d16, i16 = li.search(qn, qs, n_buckets=4, k=10, search_config=scfg)
+
+    np.testing.assert_array_equal(i16, i_ref)
+    assert d16.dtype == np.float32
+    finite = d_ref < 100.0  # skip sentinel slots (f16 rounds 10_000 coarsely)
+    np.testing.assert_allclose(d16[finite], d_ref[finite], rtol=2e-3, atol=2e-3)
+    # the wire values really are f16-rounded
+    np.testing.assert_array_equal(
+        d16[finite], d16[finite].astype(np.float16).astype(np.float32))

@@ -65,6 +65,7 @@ def run(
     rerank_dtype: str = "float32",
     pallas_worklist: bool = False,
     pallas_extract: str = "group",
+    fetch_dtype: str = "",
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
@@ -166,7 +167,7 @@ def run(
 
     scfg = None
     if (probe_mass or prune or rerank_dtype != "float32" or pallas_worklist
-            or pallas_extract != "group"):
+            or pallas_extract != "group" or fetch_dtype):
         from tpulmi.utils.config import SearchConfig
 
         # Threshold pruning lives on the XLA pipeline only; with the default
@@ -184,6 +185,7 @@ def run(
             rerank_dtype=rerank_dtype,
             pallas_worklist=pallas_worklist,
             pallas_extract=pallas_extract,
+            fetch_dtype=fetch_dtype or None,
         )
     for n_buckets in n_buckets_list:
         start = time.perf_counter()
@@ -280,6 +282,12 @@ def main(argv=None):
                              "worklist grid (identical results; removes "
                              "the empty grid steps bucket-size skew pays "
                              "on the dense grid)")
+    parser.add_argument("--fetch-dtype", default="",
+                        choices=["", "float16", "bfloat16"],
+                        help="Narrow the fetched distance leaf to this "
+                             "dtype on device (ids and ranking unchanged; "
+                             "halves the per-batch result download on "
+                             "host-link-bound serving paths)")
     parser.add_argument("--pallas-extract", default="group",
                         choices=["group", "scalar"],
                         help="Probe-kernel top-k maintenance: 'group' "
@@ -315,6 +323,7 @@ def main(argv=None):
         rerank_dtype=args.rerank_dtype,
         pallas_worklist=args.pallas_worklist,
         pallas_extract=args.pallas_extract,
+        fetch_dtype=args.fetch_dtype,
     )
 
 

@@ -970,7 +970,7 @@ class LearnedIndex:
                     (scfg.prune_after, plan.prune_eps) if plan.pruning
                     else None,
                     scfg.probe_mass, scfg.int8_queries, scfg.pallas_extract,
-                    plan.wl_pad)
+                    plan.wl_pad, scfg.fetch_dtype)
         program = self._search_programs.get(prog_key)
         if program is None:
             program = make_search_program(
@@ -992,6 +992,7 @@ class LearnedIndex:
                 prune_after=scfg.prune_after if plan.pruning else 0,
                 prune_eps=plan.prune_eps,
                 probe_mass=scfg.probe_mass,
+                fetch_dtype=scfg.fetch_dtype,
             )
             self._search_programs[prog_key] = program
         return program
@@ -1051,7 +1052,10 @@ class LearnedIndex:
         # into range the way the reference edge-pads sub-k buckets
         # (`search/li/LearnedIndex.py:174-190`).
         ids = np.where(ids < 0, 0, ids)
-        return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
+        # fetch_dtype narrows only the wire format: upcast on host so the
+        # public API dtype is stable (values keep the narrow rounding)
+        return (np.asarray(dists, np.float32),
+                np.asarray(ids).astype(np.int64) + 1)
 
     def search_stream(
         self,

@@ -19,11 +19,12 @@ tpulmi/search.py is the portable reference implementation). One
   (``extract_mode``): "scalar" runs threshold-gated min-extraction passes
   (one extracted element per full-tile sweep), "group" harvests the minima
   of all MC/128 lane-aligned column groups in one sweep and merges them on
-  a 128-lane candidate tile, re-sweeping only while merges still happen
-  (exact: a remaining improver is ≤ its group's current min, so a round
-  that merges nothing proves none remain). TPU grid steps are sequential,
-  so the accumulator carries across a block's chunks and the output tile
-  (indexed by query block) ends holding the final merge.
+  a 128-lane candidate tile (exact when no two improvers share a group —
+  proven by candidate-count == element-count, both vs the pre-merge
+  threshold; the rare collision falls back to the scalar loop with the
+  harvested winners knocked out). TPU grid steps are sequential, so the
+  accumulator carries across a block's chunks and the output tile (indexed
+  by query block) ends holding the final merge.
 
 The store must be built with ``row_align`` a multiple of the data block so
 every bucket starts on a block boundary (tpulmi/buckets.py).

@@ -409,6 +409,7 @@ def make_search_program(
     prune_after: int = 0,
     prune_eps: float = 0.0,
     probe_mass=None,
+    fetch_dtype=None,
 ):
     """One jitted end-to-end search program: MLP routing (top-k of logits —
     softmax is monotone so it is skipped, unlike the reference which
@@ -439,12 +440,26 @@ def make_search_program(
     instead of the dense (blocks × max_chunks) grid whose empty steps
     bucket-size skew pays for. The program then returns a 4th element,
     the true worklist total; callers must re-run with a larger pad if it
-    exceeds ``pallas_wl_pad`` (trailing work is dropped on overflow)."""
+    exceeds ``pallas_wl_pad`` (trailing work is dropped on overflow).
+
+    ``fetch_dtype`` casts the final (Q, k) distances to a narrower dtype
+    as the program's last op — ids and ranking are computed in f32 and are
+    bit-identical; only the REPORTED distance values round (f16: ~5e-4
+    relative). On a host-link-bound serving path (this environment's relay
+    moves ~8-25 MB/s) the distance leaf is half of every fetched batch, so
+    halving it is a direct cut to per-batch fetch latency."""
     from tpulmi.ops.distance import l2_normalize
 
     t0 = min(prune_after, n_buckets - 1) if prune_after > 0 else 0
     pruning = backend == "xla" and t0 > 0
     truncating = probe_mass is not None
+
+    def _cast_dists(res):
+        # narrow only the distance leaf (element 0) for the fetch; every
+        # other leaf (ids, counters) keeps its exact dtype
+        if fetch_dtype is None:
+            return res
+        return (res[0].astype(jnp.dtype(fetch_dtype)),) + tuple(res[1:])
 
     @jax.jit
     def search_program(params, queries_nav, queries_search, store):
@@ -457,7 +472,7 @@ def make_search_program(
         if backend == "pallas":
             from tpulmi.ops.pallas_topk import pallas_probe_search
 
-            return pallas_probe_search(
+            return _cast_dists(pallas_probe_search(
                 probes,
                 qs,
                 store,
@@ -473,7 +488,7 @@ def make_search_program(
                 # explicit pallas backend falls back to interpret mode
                 # there (tests; "auto" never picks pallas on CPU)
                 interpret=jax.default_backend() == "cpu",
-            )
+            ))
         if pruning:
             d1, i1, m1, rows1, nom1 = _probe_search_core(
                 probes[:, :t0], qs, store, None,
@@ -494,17 +509,18 @@ def make_search_program(
             cat_d = jnp.concatenate([d1, d2], axis=1)
             cat_i = jnp.concatenate([i1, i2], axis=1)
             neg_top, arg_top = jax.lax.top_k(-cat_d, k)
-            return (-neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1),
-                    jnp.maximum(m1, m2), rows1 + rows2, nom1 + nom2)
+            return _cast_dists(
+                (-neg_top, jnp.take_along_axis(cat_i, arg_top, axis=1),
+                 jnp.maximum(m1, m2), rows1 + rows2, nom1 + nom2))
         if truncating:
             # report scan counters so callers can measure the truncation
-            return _probe_search_core(
+            return _cast_dists(_probe_search_core(
                 probes, qs, store, None,
                 k=k, qpb_pad=qpb_pad, data_chunk=data_chunk,
                 max_chunks=max_chunks, query_chunk=query_chunk,
                 compute_dtype=compute_dtype,
-            )
-        return _probe_search_impl(
+            ))
+        return _cast_dists(_probe_search_impl(
             probes,
             qs,
             store,
@@ -514,7 +530,7 @@ def make_search_program(
             max_chunks=max_chunks,
             query_chunk=query_chunk,
             compute_dtype=compute_dtype,
-        )
+        ))
 
     return search_program
 

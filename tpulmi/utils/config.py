@@ -140,6 +140,18 @@ class SearchConfig:
     prune_after: int = 0
     prune_eps: Optional[float] = None
 
+    # Narrow the fetched distance leaf: cast the final (Q, k) distances to
+    # this dtype on DEVICE as the search program's last op. Ranking and ids
+    # are computed in f32 and are bit-identical; only the reported distance
+    # values round (float16: ~5e-4 relative, bfloat16: ~4e-3). On a
+    # host-link-bound serving path the distances are half of every fetched
+    # result batch (e.g. 400 KB of an 800 KB 10k-query fetch — ~30 ms at
+    # this environment's relay rates), so this is a direct latency cut for
+    # pipelines that consume ids (+approximate scores). Flat-index path
+    # only (sharded/rerank paths never download full-precision distances
+    # anyway). None = exact float32.
+    fetch_dtype: Optional[str] = None
+
     # Per-query adaptive probe truncation (XLA backend): stop probing once
     # the cumulative routed probability mass reaches this value, i.e.
     # n_buckets becomes a per-query CAP instead of a fixed budget. Slots
