@@ -211,10 +211,16 @@ def main():
                    for c in os.environ["KB_CONFIGS"].split(",")]
     q_variants = ([False, True] if "--abq" in args
                   else ["--int8q" in args])
-    # --abm benches both top-k maintenance strategies (scalar-extract vs
-    # group-harvest) per config in one process (same session, same relay)
-    m_variants = (["scalar", "group"] if "--abm" in args
-                  else [os.environ.get("KB_MODE", "scalar")])
+    # --abm benches the top-k maintenance strategies per config in one
+    # process (same session, same relay); KB_MODES=group,group2 picks an
+    # explicit comparison list (base config first — measure it before any
+    # experimental variant, NOTES.md)
+    if os.environ.get("KB_MODES"):
+        m_variants = os.environ["KB_MODES"].split(",")
+    elif "--abm" in args:
+        m_variants = ["scalar", "group", "group2"]
+    else:
+        m_variants = [os.environ.get("KB_MODE", "scalar")]
     # KB_SUBS=64,128 sweeps extraction sub-group sizes (else KB_SUB once;
     # 0 = the kernel's per-mode default)
     sub_variants = [int(s) for s in os.environ.get(

@@ -23,7 +23,7 @@ def _setup(rng, n=4000, d=128, c=13, q=64, mc=256):
 
 
 @pytest.mark.parametrize("n_probes", [1, 3])
-@pytest.mark.parametrize("mode", ["scalar", "group"])
+@pytest.mark.parametrize("mode", ["scalar", "group", "group2"])
 def test_pallas_matches_xla(rng, n_probes, mode):
     data, queries, labels, store = _setup(rng)
     c = store.n_categories
@@ -43,7 +43,7 @@ def test_pallas_matches_xla(rng, n_probes, mode):
     assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
 
 
-@pytest.mark.parametrize("mode", ["scalar", "group"])
+@pytest.mark.parametrize("mode", ["scalar", "group", "group2"])
 def test_pallas_probe_all_equals_exact(rng, mode):
     data, queries, labels, store = _setup(rng, n=2000, c=7, q=32)
     probes = np.tile(np.arange(7, dtype=np.int32), (32, 1))
@@ -59,7 +59,7 @@ def test_pallas_probe_all_equals_exact(rng, mode):
     np.testing.assert_allclose(chosen, np.asarray(want_d), atol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["scalar", "group"])
+@pytest.mark.parametrize("mode", ["scalar", "group", "group2"])
 def test_pallas_subk_sentinels(rng, mode):
     # tiny buckets: fewer than k rows probed -> sentinel rows with id -1
     data, queries, labels, store = _setup(rng, n=40, c=10, q=8)
@@ -112,7 +112,7 @@ def test_pallas_int8_queries_matches_xla(rng):
     assert overlap > 0.9
 
 
-@pytest.mark.parametrize("mode", ["scalar", "group"])
+@pytest.mark.parametrize("mode", ["scalar", "group", "group2"])
 def test_pallas_group_collisions_exact(rng, mode):
     """Adversarial case for the group-harvest extraction: every one of a
     query's true top-k sits in the SAME 128-lane column group (store rows
@@ -168,7 +168,7 @@ def test_pallas_group_default_sub_divides_qc(rng):
 
 
 @pytest.mark.parametrize("int8q", [False, True])
-@pytest.mark.parametrize("mode", ["scalar", "group"])
+@pytest.mark.parametrize("mode", ["scalar", "group", "group2"])
 def test_pallas_flat_worklist_matches_dense(rng, int8q, mode):
     """wl_pad > 0 switches the kernel to the flat worklist grid (one step
     per live (block, chunk) pair — skew costs nothing). Results must be

@@ -289,12 +289,14 @@ def main(argv=None):
                              "halves the per-batch result download on "
                              "host-link-bound serving paths)")
     parser.add_argument("--pallas-extract", default="group",
-                        choices=["group", "scalar"],
+                        choices=["group", "group2", "scalar"],
                         help="Probe-kernel top-k maintenance: 'group' "
                              "harvests all 128-lane column-group minima "
-                             "per sweep (hardware default); 'scalar' "
-                             "extracts one minimum per sweep (identical "
-                             "results)")
+                             "per sweep; 'group2' is the same harvest in "
+                             "similarity space with a fused count+harvest "
+                             "sweep (two fewer full-tile VPU passes); "
+                             "'scalar' extracts one minimum per sweep "
+                             "(identical results)")
     args = parser.parse_args(argv)
 
     run(

@@ -15,16 +15,21 @@ tpulmi/search.py is the portable reference implementation). One
   `pl.when` skips their compute — bucket-size skew costs empty grid steps,
   not FLOPs or bandwidth;
 - the MXU computes the (QC, MC) distance tile; a VMEM scratch accumulator
-  keeps each query's best k. Top-k maintenance has two strategies
+  keeps each query's best k. Top-k maintenance has three strategies
   (``extract_mode``): "scalar" runs threshold-gated min-extraction passes
-  (one extracted element per full-tile sweep), "group" harvests the minima
+  (one extracted element per full-tile sweep); "group" harvests the minima
   of all MC/128 lane-aligned column groups in one sweep and merges them on
   a 128-lane candidate tile (exact when no two improvers share a group —
   proven by candidate-count == element-count, both vs the pre-merge
   threshold; the rare collision falls back to the scalar loop with the
-  harvested winners knocked out). TPU grid steps are sequential, so the
-  accumulator carries across a block's chunks and the output tile (indexed
-  by query block) ends holding the final merge.
+  harvested winners knocked out); "group2" is the same algorithm with two
+  fewer full-tile VPU passes — the tile stays in SIMILARITY space (the
+  1-sims conversion runs once per block at the output write) and the
+  improver count, per-lane-group max, and winning-slab index come out of
+  one fused sweep whose per-lane counts double as the collision test
+  (any lane count > 1). TPU grid steps are sequential, so the accumulator
+  carries across a block's chunks and the output tile (indexed by query
+  block) ends holding the final merge.
 
 The store must be built with ``row_align`` a multiple of the data block so
 every bucket starts on a block boundary (tpulmi/buckets.py).
@@ -106,9 +111,18 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
     d_lim = s_ref[_DLIM, j]
     d_blk = s_ref[_DSTART, j] + jnp.minimum(c, jnp.maximum(ndb - 1, 0))
 
+    # "group2" keeps the scratch in SIMILARITY space (top-k = maxima): the
+    # per-tile 1-sims conversion pass disappears and is paid once per block
+    # at the output write. 1 - (1 - SENTINEL_DIST) == SENTINEL_DIST exactly
+    # (both ends are integers well inside f32's exact range).
+    SENT_SIM = 1.0 - SENTINEL_DIST
+    sim_space = mode == "group2"
+
     @pl.when(c == 0)
     def _():
-        best_d[:] = jnp.full((qc, K_LANE), SENTINEL_DIST, jnp.float32)
+        best_d[:] = jnp.full((qc, K_LANE),
+                             SENT_SIM if sim_space else SENTINEL_DIST,
+                             jnp.float32)
         best_i[:] = jnp.full((qc, K_LANE), -1, jnp.int32)
 
     @pl.when(jnp.logical_and(c < ndb, q_lim > 0))
@@ -141,6 +155,125 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
             # per-row scales/127 arrive (mc/128, 128)-tiled (TPU blocks need
             # ≥(8,128) tiles); row-major reshape restores scalar row order
             sims = sims * sc_ref[:].reshape(1, mc)
+
+        if sim_space:
+            # --- "group2": the "group" harvest algorithm, restructured to
+            # cut full-tile VPU passes. (a) The tile stays in sim space —
+            # no 1-sims pass; distances materialize once per block at the
+            # output write. (b) The full-tile improver COUNT pass and the
+            # gated 3-op harvest sweep fuse into ONE 5-op sweep that also
+            # yields PER-LANE improver counts, so the collision test is
+            # `any(count_lane > 1)` (a lane-group holds 2+ improvers ⇔
+            # its count exceeds 1 ⇔ exactly the candidate-vs-element count
+            # inequality "group" detects) with no extra pass. The pre-gate
+            # this drops almost never fired at production shapes: with
+            # ~164 live queries per block a tile is improver-free only
+            # when ALL of them are, measured <1% of tiles at the 20M
+            # replica. Exactness argument is "group"'s: the merge extracts
+            # candidate maxima in descending order, so after min(ccnt, k)
+            # merges every unmerged candidate is provably outside the
+            # top-k; collisions fall back to the scalar loop on the tile
+            # with the harvested winners knocked out.
+            width = mc // K_LANE
+            col = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 1)
+            live_cols = d_lim - d_blk * mc
+            vals = jnp.where(col < live_cols, sims, SENT_SIM)
+            qrow = jax.lax.broadcasted_iota(jnp.int32, (qc, 1), 0)[:, 0]
+            qmask = qrow < q_lim
+            bs0 = best_d[:]
+            worst0 = jnp.min(bs0[:, :k], axis=1)               # (qc,)
+            SUB = min(sub, qc)
+            sub_lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, K_LANE), 1)
+            for g in range(qc // SUB):
+                lo = g * SUB
+                qm_sub = qmask[lo:lo + SUB]
+                worst0_sub = worst0[lo:lo + SUB]
+                vv = vals[lo:lo + SUB]
+                # fused sweep: per-lane-group max, winning slab, per-lane
+                # improver count — 5 ops/element, one pass over the tile
+                m = vv[:, :K_LANE]
+                la = jnp.zeros((SUB, K_LANE), jnp.int32)
+                cl = (m > worst0_sub[:, None]).astype(jnp.int32)
+                for w in range(1, width):
+                    sl = vv[:, w * K_LANE:(w + 1) * K_LANE]
+                    cl = cl + (sl > worst0_sub[:, None]).astype(jnp.int32)
+                    upd = sl > m
+                    m = jnp.where(upd, sl, m)
+                    la = jnp.where(upd, w, la)
+                cl = jnp.where(qm_sub[:, None], cl, 0)
+                ccnt = jnp.sum((cl > 0).astype(jnp.int32), axis=1)  # (SUB,)
+                n_small = jnp.max(jnp.minimum(ccnt, k))
+
+                @pl.when(n_small > 0)
+                def _(lo=lo, m=m, la=la, vv=vv, cl=cl, qm_sub=qm_sub,
+                      n_small=n_small):
+                    cg = la * K_LANE + sub_lane        # within-chunk column
+
+                    def small(_, st):
+                        mm, bd_, bi_ = st
+                        v = jnp.max(mm, axis=1)                   # (SUB,)
+                        a = jnp.argmax(mm, axis=1).astype(jnp.int32)
+                        sel = sub_lane == a[:, None]
+                        cid = jnp.sum(jnp.where(sel, cg, 0), axis=1)
+                        m_id = d_blk * mc + cid
+                        worst_ = jnp.min(bd_[:, :k], axis=1)
+                        wi = jnp.argmin(
+                            bd_[:, :k], axis=1).astype(jnp.int32)
+                        better = v > worst_
+                        hit = jnp.logical_and(
+                            sub_lane == wi[:, None], better[:, None])
+                        bd_ = jnp.where(hit, v[:, None], bd_)
+                        bi_ = jnp.where(hit, m_id[:, None], bi_)
+                        mm = jnp.where(sel, SENT_SIM, mm)
+                        return mm, bd_, bi_
+
+                    _, bd, bi = jax.lax.fori_loop(
+                        0, n_small, small,
+                        (m, bs0[lo:lo + SUB], best_i[lo:lo + SUB]))
+                    best_d[lo:lo + SUB] = bd
+                    best_i[lo:lo + SUB] = bi
+
+                    # collision (2+ improvers share a lane group): scalar
+                    # fallback on the tile with the lane maxima knocked out
+                    # (strict `>` kept the first slab on ties, so a tied
+                    # duplicate survives for the fallback)
+                    @pl.when(jnp.any(cl > 1))
+                    def _(lo=lo, la=la, vv=vv, bd=bd, bi=bi, qm_sub=qm_sub):
+                        vv2 = jnp.concatenate(
+                            [jnp.where(la == w, SENT_SIM,
+                                       vv[:, w * K_LANE:(w + 1) * K_LANE])
+                             for w in range(width)], axis=1)
+                        worst1 = jnp.min(bd[:, :k], axis=1)
+                        cnt2 = jnp.sum(
+                            (vv2 > worst1[:, None]).astype(jnp.int32),
+                            axis=1)
+                        cnt2 = jnp.where(qm_sub, jnp.minimum(cnt2, k), 0)
+
+                        def extract(_, state):
+                            vv_, bd_, bi_ = state
+                            mv = jnp.max(vv_, axis=1)
+                            a = jnp.argmax(vv_, axis=1).astype(jnp.int32)
+                            m_id = d_blk * mc + a
+                            worst_ = jnp.min(bd_[:, :k], axis=1)
+                            wi = jnp.argmin(
+                                bd_[:, :k], axis=1).astype(jnp.int32)
+                            better = mv > worst_
+                            hit = jnp.logical_and(
+                                sub_lane == wi[:, None], better[:, None])
+                            bd_ = jnp.where(hit, mv[:, None], bd_)
+                            bi_ = jnp.where(hit, m_id[:, None], bi_)
+                            vv_ = jnp.where(
+                                jax.lax.broadcasted_iota(
+                                    jnp.int32, (SUB, mc), 1) == a[:, None],
+                                SENT_SIM, vv_)
+                            return vv_, bd_, bi_
+
+                        _, bd2, bi2 = jax.lax.fori_loop(
+                            0, jnp.max(cnt2), extract, (vv2, bd, bi))
+                        best_d[lo:lo + SUB] = bd2
+                        best_i[lo:lo + SUB] = bi2
+            return
+
         dists = 1.0 - sims      # (qc, mc) f32
 
         # Column mask only: knock out rows past the bucket's end (live only
@@ -342,9 +475,11 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
 
     # the output tile is indexed by the query block alone; write it once, on
     # the block's final step, instead of copying scratch every chunk
+    # ("group2" converts its sim-space scratch to distances here — the one
+    # place the per-tile 1-sims pass of the other modes is actually needed)
     @pl.when(c == last_c)
     def _():
-        out_d_ref[:] = best_d[:]
+        out_d_ref[:] = 1.0 - best_d[:] if sim_space else best_d[:]
         out_i_ref[:] = best_i[:]
 
 
@@ -423,7 +558,7 @@ def pallas_probe_search(
         raise ValueError("store rows not a multiple of the data block; "
                          "build the store with row_align a multiple of mc")
     if extract_sub == 0:
-        if extract_mode == "group":
+        if extract_mode in ("group", "group2"):
             # largest divisor of qc that fits the measured ≤256 optimum
             extract_sub = (qc if qc <= 256 else
                            max(s for s in range(8, 257) if qc % s == 0))
@@ -433,11 +568,12 @@ def pallas_probe_search(
         raise ValueError(
             f"qc={qc} must be divisible by extract_sub={extract_sub}"
         )
-    if extract_mode not in ("scalar", "group"):
+    if extract_mode not in ("scalar", "group", "group2"):
         raise ValueError(f"unknown extract_mode {extract_mode!r}")
-    if extract_mode == "group" and mc % K_LANE != 0:
+    if extract_mode in ("group", "group2") and mc % K_LANE != 0:
         raise ValueError(
-            f"extract_mode='group' needs mc % {K_LANE} == 0, got mc={mc}"
+            f"extract_mode={extract_mode!r} needs mc % {K_LANE} == 0, "
+            f"got mc={mc}"
         )
 
     # ---- group slots by bucket, block-aligned: every query block belongs

@@ -94,11 +94,14 @@ class SearchConfig:
     # per-query minimum per (min, argmin, knockout) sweep of the distance
     # tile; "group" harvests the minima of all mc/128 lane-aligned column
     # groups in ONE sweep and merges them on a 128-lane tile, repeating
-    # only on same-group collisions among the top-k. Hardware A/B at the
-    # 20M kernel shape (kbench, int8 x int8 qc=192/mc=1024): group 19.3 ms
-    # vs scalar 21.6 ms (0.523 vs 0.468 of the measured HBM ceiling);
-    # qc=512: 25.3 vs 26.8 ms. Exactness is proven by the interpret-mode
-    # parity suite incl. an adversarial same-group-collision test.
+    # only on same-group collisions among the top-k; "group2" is the same
+    # harvest with two fewer full-tile VPU passes (similarity-space tile +
+    # fused count/harvest sweep whose per-lane counts double as the
+    # collision test). Hardware A/B at the 20M kernel shape (kbench,
+    # int8 x int8 qc=192/mc=1024): group 19.3 ms vs scalar 21.6 ms (0.523
+    # vs 0.468 of the measured HBM ceiling); qc=512: 25.3 vs 26.8 ms.
+    # Exactness of all three is proven by the interpret-mode parity suite
+    # incl. an adversarial same-group-collision test.
     pallas_extract: str = "group"
     # int8 stores + pallas backend only: quantize the query tiles too and
     # run the distance matmul int8 x int8 -> int32 on the MXU (2x the bf16
