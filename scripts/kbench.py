@@ -244,7 +244,7 @@ def main():
         for int8q in q_variants:
          for mode in m_variants:
           for sub in sub_variants:
-           if qc % min(sub, qc):
+           if sub and qc % min(sub, qc):  # 0 = the kernel's per-mode default
                continue
            for use_wl in wl_variants:
             if use_wl:
