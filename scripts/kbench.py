@@ -7,7 +7,8 @@ roofline utilization. Loops ITERS dispatches back-to-back inside one timing
 window so the ~65 ms per-dispatch relay latency of this environment
 amortizes away and the number approaches true device time.
 
-Usage: PYTHONPATH=. python scripts/kbench.py [N_ROWS] [--xla] [--int8] [--int8q]
+Usage: PYTHONPATH=. python scripts/kbench.py [N_ROWS] [--xla] [--int8]
+       [--int4] [--int8q]
 
 Env knobs (so one script covers every workload shape): KB_C buckets,
 KB_P probes/query, KB_Q queries, KB_ITERS timing iters. E.g. the 20M
@@ -97,10 +98,10 @@ def work_model(store, probes, qc, mc):
     counts = np.asarray(jax.device_get(store.counts))
     slots = np.bincount(np.asarray(probes).reshape(-1),
                         minlength=store.n_categories)
-    return probe_work_model(
-        slots, counts, store.dim, qc, mc,
-        store.data_sorted.dtype.itemsize,
-    )
+    # effective bytes per logical element (0.5 for packed int4 stores)
+    elem_bytes = (store.data_sorted.dtype.itemsize
+                  * int(store.data_sorted.shape[1]) / store.dim)
+    return probe_work_model(slots, counts, store.dim, qc, mc, elem_bytes)
 
 
 def _stream_time(store, qc, mc, int8q):
@@ -110,19 +111,25 @@ def _stream_time(store, qc, mc, int8q):
     for a quantized store otherwise, plain bf16 else. Returns (best seconds,
     bytes streamed)."""
     d = store.dim
+    d_stored = int(store.data_sorted.shape[1])  # d/2 for packed int4
     rows = (int(store.data_sorted.shape[0]) // mc) * mc
-    data3 = store.data_sorted[:rows].reshape(-1, mc, d)
+    data3 = store.data_sorted[:rows].reshape(-1, mc, d_stored)
     quantized = store.data_sorted.dtype == jnp.int8
 
     # random q and a per-row MAX accumulator: a constant q (or a full sum,
     # which factors through the contraction) could let XLA algebraically
     # collapse the matmul into a matvec and fake the measurement
     kq = jax.random.PRNGKey(7)
+    packed = quantized and getattr(store, "packed", False)
+    if packed:
+        from tpulmi.ops.quantize import unpack_int4
     if int8q and quantized:
         q = jax.random.randint(kq, (qc, d), -127, 128, jnp.int32).astype(
             jnp.int8)
 
         def body(acc, blk):
+            if packed:
+                blk = unpack_int4(blk)
             s = jax.lax.dot_general(
                 q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -133,6 +140,8 @@ def _stream_time(store, qc, mc, int8q):
         q = jax.random.normal(kq, (qc, d), jnp.bfloat16)
 
         def body(acc, blk):
+            if packed:
+                blk = unpack_int4(blk)
             b = blk.astype(jnp.bfloat16) if quantized else blk
             s = jax.lax.dot_general(
                 q, b, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -147,7 +156,7 @@ def _stream_time(store, qc, mc, int8q):
         return acc
 
     t = bench(lambda: (stream(data3),), [])
-    return t, rows * d * store.data_sorted.dtype.itemsize
+    return t, rows * d_stored * store.data_sorted.dtype.itemsize
 
 
 def bench(fn, out_holder):
@@ -177,7 +186,10 @@ def main():
         print(f"# skew={skew}: bucket rows max/mean/min = "
               f"{counts_host.max()}/{counts_host.mean():.0f}/"
               f"{counts_host.min()}", file=sys.stderr)
-    if "--int8" in args:
+    if "--int4" in args:
+        store = quantize_store(store, bits=4)
+        jax.device_get(store.data_sorted[-1, :1])
+    elif "--int8" in args:
         store = quantize_store(store)
         jax.device_get(store.data_sorted[-1, :1])
 

@@ -43,8 +43,12 @@ class BucketStore:
     row_align: int = field(metadata=dict(static=True), default=1)
     # Per-row int8 scales (shape (n + pad_rows,), f32) when the store is
     # quantized; None for full-precision stores. data_sorted rows then hold
-    # int8 codes with x ≈ codes * (scales/127)[:, None].
+    # int8 codes with x ≈ codes * (scales/q_levels)[:, None].
     scales: Optional[jnp.ndarray] = None
+    # Quantized code width: 8 (one int8 code per dim) or 4 (two int4 codes
+    # packed per int8 byte — data_sorted is then (rows, dim/2) and `dim`
+    # reports the LOGICAL width). Meaningful only when scales is not None.
+    quant_bits: int = field(metadata=dict(static=True), default=8)
     # Per-bucket pruning bounds (compute_bucket_bounds): unit centroid
     # (n_categories, d) f32, min over the bucket's rows of x̂·ĉ
     # (n_categories,) f32, and max row norm (n_categories,) f32. For any
@@ -63,6 +67,16 @@ class BucketStore:
         return self.scales is not None
 
     @property
+    def packed(self) -> bool:
+        """True for packed-int4 stores (two codes per stored byte)."""
+        return self.is_quantized and self.quant_bits == 4
+
+    @property
+    def q_levels(self) -> float:
+        """Dequantization divisor: x ≈ codes * (scales/q_levels)."""
+        return 7.0 if self.quant_bits == 4 else 127.0
+
+    @property
     def has_bounds(self) -> bool:
         return self.bucket_centroids is not None
 
@@ -72,7 +86,9 @@ class BucketStore:
 
     @property
     def dim(self) -> int:
-        return int(self.data_sorted.shape[1])
+        """Logical vector width (packed int4 stores hold dim/2 bytes)."""
+        d = int(self.data_sorted.shape[1])
+        return d * 2 if self.packed else d
 
 
 def build_bucket_store(
@@ -164,10 +180,15 @@ def compute_bucket_bounds(store: BucketStore, chunk: int = 65536) -> BucketStore
             nominal = j * chunk
             start = jnp.minimum(nominal, rows_total - chunk)
             rows = jax.lax.dynamic_slice(
-                data, (start, 0), (chunk, d)).astype(jnp.float32)
+                data, (start, 0), (chunk, int(data.shape[1])))
+            if store.packed:
+                from tpulmi.ops.quantize import unpack_int4
+
+                rows = unpack_int4(rows)
+            rows = rows.astype(jnp.float32)
             if scales is not None:
                 s = jax.lax.dynamic_slice(scales, (start,), (chunk,))
-                rows = rows * (s / 127.0)[:, None]
+                rows = rows * (s / store.q_levels)[:, None]
             rid = jax.lax.dynamic_slice(ids, (start,), (chunk,))
             gidx = start + jnp.arange(chunk, dtype=jnp.int32)
             # two-sided validity: real rows only, and never re-count the

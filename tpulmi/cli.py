@@ -135,11 +135,13 @@ def run(
         li = LearnedIndex(cfg)
     _, build_t = li.build(data_nav, data_search)
     log.info("build time: %.1fs", build_t)
-    if store_dtype == "int8":
-        # int8 codes + per-row scales, with the host corpus attached so
+    if store_dtype in ("int8", "int4"):
+        # int8/int4 codes + per-row scales, with the host corpus attached so
         # search reranks the final candidates at full precision
-        li.quantize(host_corpus=np.asarray(data_search, np.float32))
-        log.info("store quantized to int8 (+exact host rerank)")
+        bits = 4 if store_dtype == "int4" else 8
+        li.quantize(host_corpus=np.asarray(data_search, np.float32),
+                    bits=bits)
+        log.info("store quantized to int%d (+exact host rerank)", bits)
     if calibrate and hierarchical_groups:
         budget = max(n_buckets_list) if n_buckets_list else 8
         cal = li.calibrate_outer_weight(data_nav, probe_budget=budget)
@@ -167,7 +169,8 @@ def run(
 
     scfg = None
     if (probe_mass or prune or rerank_dtype != "float32" or pallas_worklist
-            or pallas_extract != "group" or fetch_dtype):
+            or pallas_extract != "group" or fetch_dtype
+            or store_dtype == "int4"):
         from tpulmi.utils.config import SearchConfig
 
         # Threshold pruning lives on the XLA pipeline only; with the default
@@ -186,6 +189,9 @@ def run(
             pallas_worklist=pallas_worklist,
             pallas_extract=pallas_extract,
             fetch_dtype=fetch_dtype or None,
+            # int4's ~4e-3 cosine error needs a deeper exact-rerank pool
+            # than int8's default 10 (tpulmi/ops/quantize.py docstring)
+            rerank_extra=30 if store_dtype == "int4" else 10,
         )
     for n_buckets in n_buckets_list:
         start = time.perf_counter()
@@ -255,9 +261,11 @@ def main(argv=None):
                         help="Two-level index with this many outer groups "
                              "(0 = flat single-level)")
     parser.add_argument("--store-dtype", default="float32",
-                        choices=["float32", "int8"],
-                        help="int8 quantizes the store (half the HBM) with "
-                             "an exact host rerank of final candidates")
+                        choices=["float32", "int8", "int4"],
+                        help="int8/int4 quantizes the store (half/quarter "
+                             "the HBM) with an exact host rerank of final "
+                             "candidates (int4 packs two codes per byte and "
+                             "defaults to a deeper rerank pool)")
     parser.add_argument("--shard", default=0, type=int,
                         help="Shard the bucket store across this many "
                              "devices (multi-chip search)")

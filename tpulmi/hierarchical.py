@@ -650,6 +650,7 @@ class HierarchicalIndex(LearnedIndex):
             row_align=int(meta.get("store_row_align", 1)),
             scales=(jnp.asarray(state["store"]["scales"])
                     if "scales" in state.get("store", {}) else None),
+            quant_bits=int(meta.get("store_quant_bits", 8)),
             **{f: jnp.asarray(state["store"][f])
                for f in ("bucket_centroids", "bucket_cos_r",
                          "bucket_max_norm")

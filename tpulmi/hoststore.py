@@ -44,6 +44,7 @@ class HostStoreArrays:
     """The BucketStore contents as host arrays, ready for one device_put."""
 
     data_sorted: np.ndarray          # (n_total + pad_rows, d) store dtype
+    #                                  (d/2 packed bytes for int4)
     ids_sorted: np.ndarray           # (n_total + pad_rows,) int32
     offsets: np.ndarray              # (n_categories + 1,) int32
     counts: np.ndarray               # (n_categories,) int32
@@ -51,6 +52,7 @@ class HostStoreArrays:
     n: int
     pad_rows: int
     row_align: int
+    quant_bits: int = 8              # 8 (int8) or 4 (packed int4)
 
 
 def layout_host_store(
@@ -69,7 +71,9 @@ def layout_host_store(
     """Lay `data_search_host` out in bucket-sorted aligned order on the host.
 
     `pred` is the (n,) int bucket label per row. `store_dtype` is
-    "bfloat16", "float32", or "int8" (int8 adds per-row scales).
+    "bfloat16", "float32", "int8", or "int4" (the quantized dtypes add
+    per-row scales; int4 packs two codes per byte into a (rows, d/2) int8
+    array — `tpulmi/ops/quantize.pack_int4` layout).
 
     `progress_cb(final_rows)`, if given, is called after each source chunk
     with a store-row watermark: rows `[0, final_rows)` of `data_sorted` are
@@ -83,7 +87,8 @@ def layout_host_store(
     import ml_dtypes
 
     align = max(row_align, 1)
-    quantized = store_dtype == "int8"
+    quantized = store_dtype in ("int8", "int4")
+    packed4 = store_dtype == "int4"
     if quantized:
         dtype = np.int8
     elif store_dtype == "bfloat16":
@@ -102,7 +107,10 @@ def layout_host_store(
     n_total = int(-(-(n + n_categories * align) // align) * align)
 
     order = np.argsort(pred, kind="stable").astype(np.int32)
-    store_host = np.zeros((n_total + pad_rows, d), dtype=dtype)
+    d_stored = d // 2 if packed4 else d
+    if packed4 and d % 2:
+        raise ValueError(f"int4 store needs even d, got {d}")
+    store_host = np.zeros((n_total + pad_rows, d_stored), dtype=dtype)
     ids_host = np.full((n_total + pad_rows,), -1, dtype=np.int32)
     scales_host = (
         np.zeros((n_total + pad_rows,), dtype=np.float32) if quantized else None
@@ -118,6 +126,7 @@ def layout_host_store(
 
     native_ok = (
         native_layout.available()
+        and not packed4
         and not isinstance(data_search_host, (list, tuple))
         # the C++ kernel handles f32/f16/bf16 sources and bf16/f32/int8
         # stores; anything else (e.g. float64 corpora) takes the NumPy path
@@ -161,7 +170,13 @@ def layout_host_store(
                     rows /= np.maximum(
                         np.linalg.norm(rows, axis=1, keepdims=True), 1e-12
                     )
-                if quantized:
+                if packed4:
+                    from tpulmi.ops.quantize import quantize_rows_int4_host
+
+                    codes, s = quantize_rows_int4_host(rows)
+                    store_host[pos[lo:hi]] = codes
+                    scales_host[pos[lo:hi]] = s
+                elif quantized:
                     s = np.maximum(np.abs(rows).max(axis=1), 1e-12)
                     codes = np.rint(rows / s[:, None] * 127.0)
                     store_host[pos[lo:hi]] = np.clip(
@@ -187,6 +202,7 @@ def layout_host_store(
         n=n,
         pad_rows=pad_rows,
         row_align=align,
+        quant_bits=4 if packed4 else 8,
     )
 
 

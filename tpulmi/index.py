@@ -445,6 +445,7 @@ class LearnedIndex:
                 pad_rows=arrays.pad_rows,
                 row_align=arrays.row_align,
                 scales=arrays.scales,
+                quant_bits=arrays.quant_bits,
             )
             self._sharded = (sstore, mesh)
             self._sharded_programs = {}
@@ -465,6 +466,7 @@ class LearnedIndex:
             row_align=arrays.row_align,
             scales=(jax.device_put(arrays.scales)
                     if arrays.scales is not None else None),
+            quant_bits=arrays.quant_bits,
         )
         jax.device_get(store.data_sorted[-1, :1])
         return store, arrays, data_search_host
@@ -490,11 +492,14 @@ class LearnedIndex:
         self.built = dc_replace(self.built, store=store)
         self._search_programs = {}
 
-    def quantize(self, host_corpus=None, normalized: bool = False) -> None:
-        """Convert the built store to int8 codes + per-row scales in place
-        (half the HBM; ~1e-3 cosine error). Optionally attach a
+    def quantize(self, host_corpus=None, normalized: bool = False,
+                 bits: int = 8) -> None:
+        """Convert the built store to int8 (``bits=8``) or packed int4
+        (``bits=4``) codes + per-row scales in place (half / quarter the
+        HBM; ~1e-3 / ~4e-3 cosine error). Optionally attach a
         host-resident full-precision corpus so `search` reranks the final
-        candidates exactly."""
+        candidates exactly — int4 effectively requires it (with a deeper
+        `SearchConfig.rerank_extra` pool, ~20-40)."""
         if self.built is None:
             raise ValueError("Index is not built, call `build` first.")
         from tpulmi.ops.quantize import quantize_store
@@ -502,7 +507,7 @@ class LearnedIndex:
         self.built = BuiltIndex(
             centroids=self.built.centroids,
             classifier=self.built.classifier,
-            store=quantize_store(self.built.store),
+            store=quantize_store(self.built.store, bits=bits),
             pred_categories=self.built.pred_categories,
             config=self.built.config,
             max_bucket=self.built.max_bucket,
@@ -765,6 +770,7 @@ class LearnedIndex:
                     compute_dtype=(jnp.dtype(scfg.compute_dtype)
                                    if scfg.compute_dtype else None),
                     probe_mass=scfg.probe_mass,
+                    quant_bits=sstore.quant_bits,
                 )
                 self._sharded_programs[prog_key] = program
             args = [built.classifier.params, queries_nav, queries_search,
@@ -1284,6 +1290,7 @@ class LearnedIndex:
             "store_n": built.store.n,
             "store_pad_rows": built.store.pad_rows,
             "store_row_align": built.store.row_align,
+            "store_quant_bits": built.store.quant_bits,
             "version": 2,
         }
         if self._host_corpus is not None:
@@ -1390,6 +1397,7 @@ class LearnedIndex:
             row_align=int(meta.get("store_row_align", 1)),
             scales=(jnp.asarray(state["store"]["scales"])
                     if "scales" in state.get("store", {}) else None),
+            quant_bits=int(meta.get("store_quant_bits", 8)),
             **{f: jnp.asarray(state["store"][f])
                for f in ("bucket_centroids", "bucket_cos_r",
                          "bucket_max_norm")

@@ -67,7 +67,8 @@ _DSTART, _NDB, _QLIM, _DLIM = range(4)
 
 def _kernel(s_ref, q_ref, d_ref, *rest,
             k: int, qc: int, mc: int, quantized: bool = False,
-            int8q: bool = False, sub: int = 64, mode: str = "scalar"):
+            int8q: bool = False, sub: int = 64, mode: str = "scalar",
+            packed: bool = False):
     # dense 2-D grid: (query block, chunk); bucket-size skew costs empty
     # grid steps (compute gated off, DMA elided by the clamped index map)
     j = pl.program_id(0)   # query block
@@ -75,13 +76,14 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
     last_c = pl.num_programs(1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub, mode=mode)
+                 sub=sub, mode=mode, packed=packed)
 
 
 def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
                  k: int, qc: int, mc: int, cmax: int,
                  quantized: bool = False,
-                 int8q: bool = False, sub: int = 64, mode: str = "scalar"):
+                 int8q: bool = False, sub: int = 64, mode: str = "scalar",
+                 packed: bool = False):
     # flat worklist grid: one step per LIVE (query block, chunk) pair —
     # bucket-size skew costs nothing. wl_ref (wl_pad,) holds the
     # block-major worklist PACKED one int32 per item (j*cmax + c — SMEM is
@@ -96,12 +98,12 @@ def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
     last_c = jnp.maximum(s_ref[_NDB, j], 1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub, mode=mode)
+                 sub=sub, mode=mode, packed=packed)
 
 
 def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  *, k: int, qc: int, mc: int, quantized: bool,
-                 int8q: bool, sub: int, mode: str):
+                 int8q: bool, sub: int, mode: str, packed: bool = False):
     if quantized:
         sc_ref, out_d_ref, out_i_ref, best_d, best_i = rest
     else:
@@ -128,7 +130,14 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
     @pl.when(jnp.logical_and(c < ndb, q_lim > 0))
     def _():
         q = q_ref[:]            # (qc, d); int8 codes when int8q
-        blk = d_ref[:]          # (mc, d); int8 codes when quantized
+        blk = d_ref[:]          # (mc, d); int8 codes when quantized;
+        #                         (mc, d/2) packed nibbles when packed
+        if packed:
+            # int4 unpack in VMEM: the HBM read was half an int8 store's
+            # bytes; two arithmetic shifts sign-extend the nibbles and the
+            # concat restores original dim order (byte j = dims j, j+d/2 —
+            # tpulmi/ops/quantize.pack_int4)
+            blk = jnp.concatenate([(blk << 4) >> 4, blk >> 4], axis=1)
         if int8q:
             # int8 x int8 -> int32 directly on the MXU: v5e runs int8
             # matmuls at 2x the bf16 rate (394 vs 197 TOPS peak), and the
@@ -536,9 +545,14 @@ def pallas_probe_search(
     q, p = probe_buckets.shape
     n_slots = q * p
     n_cat = store.n_categories
-    d = store.dim
+    d = store.dim                                # logical vector width
+    d_stored = int(store.data_sorted.shape[1])   # d/2 for packed int4
     if d % 128 != 0:
         raise ValueError(f"pallas path needs d%128==0, got {d}")
+    if store.packed and d_stored % 128 != 0:
+        raise ValueError(
+            f"pallas int4 path needs packed width d/2 % 128 == 0 (d % 256 "
+            f"== 0), got d={d}")
     if k > K_LANE:
         raise ValueError(
             f"pallas path tracks top-k in a {K_LANE}-lane scratch; k={k} "
@@ -616,9 +630,9 @@ def pallas_probe_search(
                 f"pallas int8 path needs mc % 1024 == 0 (scales tile is "
                 f"(mc/128, 128) and TPU blocks need ≥8 sublanes); got mc={mc}"
             )
-        data = store.data_sorted  # int8 codes, dequantized in-kernel
+        data = store.data_sorted  # int8/packed-int4 codes, dequantized in-kernel
         sc_blocks = (
-            (store.scales / 127.0).astype(jnp.float32).reshape(-1, 128)
+            (store.scales / store.q_levels).astype(jnp.float32).reshape(-1, 128)
         )
     else:
         data = store.data_sorted.astype(compute_dtype)
@@ -688,7 +702,7 @@ def pallas_probe_search(
 
         in_specs = [
             pl.BlockSpec((qc, d), lambda i, s, w: (w[i] // cmax, 0)),
-            pl.BlockSpec((mc, d), data_index_flat),
+            pl.BlockSpec((mc, d_stored), data_index_flat),
         ]
         inputs = [scalars, wl, qvecs, data]
         if quantized:
@@ -706,7 +720,7 @@ def pallas_probe_search(
         )
         kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
                          quantized=quantized, int8q=int8q, sub=extract_sub,
-                         mode=extract_mode)
+                         mode=extract_mode, packed=store.packed)
     else:
         def data_block_index(j, c, s):
             return (
@@ -716,7 +730,7 @@ def pallas_probe_search(
 
         in_specs = [
             pl.BlockSpec((qc, d), lambda j, c, s: (j, 0)),
-            pl.BlockSpec((mc, d), data_block_index),
+            pl.BlockSpec((mc, d_stored), data_block_index),
         ]
         inputs = [scalars, qvecs, data]
         if quantized:
@@ -733,7 +747,8 @@ def pallas_probe_search(
             scratch_shapes=scratch,
         )
         kernel = partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized,
-                         int8q=int8q, sub=extract_sub, mode=extract_mode)
+                         int8q=int8q, sub=extract_sub, mode=extract_mode,
+                         packed=store.packed)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -1,18 +1,38 @@
-"""Int8 row quantization for the bucket store (>10M rows/chip).
+"""Int8 / packed-int4 row quantization for the bucket store.
 
 A bf16 store holds ~10M 768-d rows in a v5e's 16 GB HBM (BENCH_10M.md); an
-int8 store halves that again (~20M rows/chip). Symmetric per-row scales:
+int8 store halves that again (~20M rows/chip), and a packed int4 store
+halves it once more (~40M rows/chip) — the probe kernel is HBM-bound at
+big-corpus shapes (NOTES.md: a pure matmul stream over the store bytes
+runs at the full measured HBM ceiling), so store bytes ARE probe time.
+Symmetric per-row scales:
 
-    q_i = round(x_i / s_i * 127),  s_i = max|x_i|
-    cos(a, x_i) ≈ (a · q_i) * s_i / 127      (a kept in bf16/f32)
+    q_i = round(x_i / s_i * L),  L = 127 (int8) or 7 (int4)
+    cos(a, x_i) ≈ (a · q_i) * s_i / L        (a kept in bf16/f32/int8)
 
-For L2-normalized 768-d vectors the per-element quantization error is
-~0.4 % relative; errors average over the 768-term dot product, so the
-cosine error lands around 1e-3 — below typical neighbor gaps. Both probe
-backends (tpulmi/search.py, tpulmi/ops/pallas_topk.py) consume quantized
-stores natively (codes dequantized in VMEM, per-row scales applied to the
-similarity columns), and `LearnedIndex` can rerank the final candidates
-against a host-resident full-precision corpus to erase even that error.
+int8: s_i = max|x_i|. For L2-normalized 768-d vectors the per-element
+error is ~0.4 % relative; errors average over the 768-term dot product,
+so the cosine error lands around 1e-3 — below typical neighbor gaps.
+
+int4: s_i = INT4_CLIP · max|x_i| (values past the clip saturate to ±the
+range end). Clipping trades rare large outlier errors for a uniformly
+finer step — measured on the synthetic 768-d corpus, clip 0.85 beats
+max-abs scaling (top-10-in-top-30 candidate recall 0.970 vs 0.954) while
+clip ≤0.7 degrades. The ~4e-3 cosine error is 18× int8's, so int4 REQUIRES
+the exact host rerank (`SearchConfig.rerank`) with a deeper candidate pool
+(`rerank_extra` ≈ 20-40 instead of int8's 10).
+
+int4 codes are PACKED two-per-byte into an (N, d/2) int8 array: byte j of
+a row holds dim j in its low nibble and dim j + d/2 in its high nibble, so
+the in-register unpack (`unpack_int4`) is two arithmetic shifts and one
+concatenate — lane-aligned and cheap on the TPU VPU, with the unpacked
+halves landing in original dim order.
+
+Both probe backends (tpulmi/search.py, tpulmi/ops/pallas_topk.py) consume
+quantized stores natively (codes dequantized — int4 unpacked — in
+registers/VMEM, per-row scales applied to the similarity columns), and
+`LearnedIndex` reranks the final candidates against a host-resident
+full-precision corpus to erase the quantization error.
 """
 
 from functools import partial
@@ -39,6 +59,60 @@ def dequantize_rows(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.float32) * (scales / 127.0)[:, None]
 
 
+# int4 per-row scale clip factor (fraction of max|x| that maps to the top
+# code). 0.85 is the measured candidate-recall optimum on the synthetic
+# 768-d corpus; see the module docstring.
+INT4_CLIP = 0.85
+
+
+@jax.jit
+def quantize_rows_int4(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int4 quantization, PACKED two codes per byte.
+    Returns (packed int8 (N, d/2), scales f32 (N,)) with
+    x ≈ unpack_int4(packed) * (scales/7)[:, None]. d must be even."""
+    x = x.astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(x), axis=1) * INT4_CLIP, 1e-12)
+    q = jnp.clip(jnp.round(x / scales[:, None] * 7.0), -8, 7).astype(jnp.int8)
+    return pack_int4(q), scales
+
+
+def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 codes (N, d) in [-8, 7] into (N, d/2) int8: byte j holds
+    dim j (low nibble) and dim j + d/2 (high nibble)."""
+    d = codes.shape[-1]
+    if d % 2:
+        raise ValueError(f"int4 packing needs even d, got {d}")
+    lo = codes[..., : d // 2].astype(jnp.uint8) & 0xF
+    hi = codes[..., d // 2:].astype(jnp.uint8) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Unpack (..., d/2) int8 bytes into (..., d) int4 codes as int8, in
+    original dim order. Two arithmetic shifts + one concat: the left shift
+    wraps mod 256 so `(b << 4) >> 4` sign-extends the low nibble, and the
+    arithmetic right shift sign-extends the high one. Works identically
+    under jnp (XLA/Pallas) and numpy (both define int8 shifts this way)."""
+    lo = (packed << 4) >> 4
+    hi = packed >> 4
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def quantize_rows_int4_host(x: "np.ndarray"):
+    """NumPy twin of `quantize_rows_int4` for the host layout path
+    (tpulmi/hoststore.py). Returns (packed int8 (N, d/2), scales f32 (N,))."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float32)
+    scales = np.maximum(
+        np.abs(x).max(axis=1) * np.float32(INT4_CLIP), np.float32(1e-12))
+    q = np.clip(np.rint(x / scales[:, None] * 7.0), -8, 7).astype(np.int8)
+    d = q.shape[1]
+    lo = q[:, : d // 2].astype(np.uint8) & 0xF
+    hi = q[:, d // 2:].astype(np.uint8) & 0xF
+    return (lo | (hi << 4)).astype(np.int8), scales
+
+
 @partial(jax.jit, static_argnames=())
 def cosine_dists_int8(
     q_queries: jnp.ndarray,   # (Q, d) int8
@@ -57,15 +131,26 @@ def cosine_dists_int8(
     return 1.0 - sims
 
 
-def quantize_store(store: BucketStore) -> BucketStore:
-    """Quantize a full-precision bucket store to int8 codes + per-row f32
-    scales. Layout (ids, offsets, counts, alignment) is unchanged, so the
-    quantized store drops into both probe backends. Padding rows (all-zero)
-    get scale ~0 and code 0 — their similarity is 0, and the existing
-    in-bucket masks drop them anyway."""
+def quantize_store(store: BucketStore, bits: int = 8) -> BucketStore:
+    """Quantize a full-precision bucket store to int8 (``bits=8``) or
+    packed int4 (``bits=4``) codes + per-row f32 scales. Layout (ids,
+    offsets, counts, alignment) is unchanged, so the quantized store drops
+    into both probe backends. Padding rows (all-zero) get scale ~0 and
+    code 0 — their similarity is 0, and the existing in-bucket masks drop
+    them anyway."""
+    if bits not in (8, 4):
+        raise ValueError(f"quantize_store supports bits in (8, 4), got {bits}")
     if store.is_quantized:
+        if store.quant_bits != bits:
+            raise ValueError(
+                f"store is already int{store.quant_bits}; re-quantizing to "
+                f"int{bits} would compound the quantization error — rebuild "
+                f"from the full-precision source instead")
         return store
-    codes, scales = quantize_rows(store.data_sorted)
+    if bits == 4:
+        codes, scales = quantize_rows_int4(store.data_sorted)
+    else:
+        codes, scales = quantize_rows(store.data_sorted)
     return BucketStore(
         data_sorted=codes,
         ids_sorted=store.ids_sorted,
@@ -75,4 +160,5 @@ def quantize_store(store: BucketStore) -> BucketStore:
         pad_rows=store.pad_rows,
         row_align=store.row_align,
         scales=scales,
+        quant_bits=bits,
     )

@@ -51,6 +51,9 @@ class ShardedBucketStore:
     pad_rows: int = field(metadata=dict(static=True), default=0)
     row_align: int = field(metadata=dict(static=True), default=1)
     scales: Optional[jnp.ndarray] = None   # (S, rows_pad) f32 for int8 shards
+    # quantized code width per BucketStore.quant_bits (8=int8, 4=packed int4
+    # where data_sorted holds (S, rows_pad, d/2) nibble-packed bytes)
+    quant_bits: int = field(metadata=dict(static=True), default=8)
 
 
 def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
@@ -68,7 +71,7 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
     counts = np.asarray(jax.device_get(store.counts))
     data_sorted = store.data_sorted
     ids_sorted = store.ids_sorted
-    d = store.dim
+    d = int(data_sorted.shape[1])  # STORED width (dim/2 for packed int4)
 
     shard_rows = []
     for s in range(n_shards):
@@ -123,6 +126,7 @@ def shard_store(store: BucketStore, n_shards: int) -> ShardedBucketStore:
         row_align=store.row_align,
         scales=(jnp.asarray(scales_shards) if scales_shards is not None
                 else None),
+        quant_bits=store.quant_bits,
     )
 
 
@@ -242,6 +246,7 @@ def shard_store_from_host(arrays, mesh: Mesh,
         pad_rows=pad_rows,
         row_align=arrays.row_align,
         scales=(put_meta(scales_shards) if quantized else None),
+        quant_bits=arrays.quant_bits,
     )
 
 
@@ -392,6 +397,7 @@ def make_sharded_search_program(
     quantized: bool = False,
     compute_dtype=None,
     probe_mass=None,
+    quant_bits: int = 8,
 ):
     """ONE jitted multi-chip search program: replicated MLP routing +
     bucket-sharded probe search + all-gather top-k merge. The multi-chip
@@ -424,6 +430,7 @@ def make_sharded_search_program(
             data_sorted=data_s[0], ids_sorted=ids_s[0],
             offsets=offs[0], counts=cnts[0], n=rows, pad_rows=pad_rows,
             scales=scales_s[0][0] if quantized else None,
+            quant_bits=quant_bits,
         )
         part_d, part_i, max_slots = _probe_search_impl(
             local, qs, local_store, k=k, qpb_pad=qpb_pad,

@@ -95,10 +95,13 @@ def _probe_search_core(
         if not quantized:
             data = data.astype(compute_dtype)
         queries = queries.astype(compute_dtype)
-    # int8 stores: codes stay int8 in HBM (half the bandwidth of bf16);
-    # each chunk is dequantized in registers and the per-row scale applied
-    # to the similarity columns: sims = (q · codes_j) * s_j / 127
-    scaled127 = (store.scales / 127.0).astype(jnp.float32) if quantized else None
+    # int8/int4 stores: codes stay packed in HBM (half / quarter the
+    # bandwidth of bf16); each chunk is dequantized (int4: nibble-unpacked)
+    # in registers and the per-row scale applied to the similarity columns:
+    # sims = (q · codes_j) * s_j / q_levels
+    scaled127 = ((store.scales / store.q_levels).astype(jnp.float32)
+                 if quantized else None)
+    d_stored = int(store.data_sorted.shape[1])  # dim/2 for packed int4
 
     # --- group slots by bucket ------------------------------------------------
     slots = probe_buckets.reshape(n_slots)
@@ -158,11 +161,16 @@ def _probe_search_core(
                             dstart + j * mc,
                             jnp.int32(max(data.shape[0] - mc, 0)),
                         )
-                        block = jax.lax.dynamic_slice(data, (start, 0), (mc, d))
+                        block = jax.lax.dynamic_slice(
+                            data, (start, 0), (mc, d_stored))
                         block_ids = jax.lax.dynamic_slice(
                             store.ids_sorted, (start,), (mc,)
                         )
                         if quantized:
+                            if store.packed:
+                                from tpulmi.ops.quantize import unpack_int4
+
+                                block = unpack_int4(block)
                             block = block.astype(qvecs.dtype)
                         sims = jax.lax.dot_general(
                             qvecs, block,
