@@ -134,10 +134,13 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
         #                         (mc, d/2) packed nibbles when packed
         if packed:
             # int4 unpack in VMEM: the HBM read was half an int8 store's
-            # bytes; two arithmetic shifts sign-extend the nibbles and the
-            # concat restores original dim order (byte j = dims j, j+d/2 —
-            # tpulmi/ops/quantize.pack_int4)
-            blk = jnp.concatenate([(blk << 4) >> 4, blk >> 4], axis=1)
+            # bytes; shifts sign-extend the nibbles and the concat restores
+            # original dim order (byte j = dims j, j+d/2 —
+            # tpulmi/ops/quantize.pack_int4). Shifts MUST run in int32:
+            # Mosaic crashes on int8 shifts (hardware-measured).
+            b32 = blk.astype(jnp.int32)
+            blk = jnp.concatenate(
+                [(b32 << 28) >> 28, b32 >> 4], axis=1).astype(jnp.int8)
         if int8q:
             # int8 x int8 -> int32 directly on the MXU: v5e runs int8
             # matmuls at 2x the bf16 rate (394 vs 197 TOPS peak), and the

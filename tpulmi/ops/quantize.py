@@ -89,13 +89,16 @@ def pack_int4(codes: jnp.ndarray) -> jnp.ndarray:
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """Unpack (..., d/2) int8 bytes into (..., d) int4 codes as int8, in
-    original dim order. Two arithmetic shifts + one concat: the left shift
-    wraps mod 256 so `(b << 4) >> 4` sign-extends the low nibble, and the
-    arithmetic right shift sign-extends the high one. Works identically
-    under jnp (XLA/Pallas) and numpy (both define int8 shifts this way)."""
-    lo = (packed << 4) >> 4
-    hi = packed >> 4
-    return jnp.concatenate([lo, hi], axis=-1)
+    original dim order. Shifts run in int32 — `(b << 28) >> 28`
+    sign-extends the low nibble, the arithmetic `>> 4` the high one —
+    because the TPU kernel compiler (Mosaic) crashes outright on int8
+    shifts (hardware-measured; interpret mode does not catch it). The
+    int32 round-trip costs nothing next to the matmul that follows, and
+    the same formulation serves XLA, Pallas, and numpy callers."""
+    b = packed.astype(jnp.int32)
+    lo = (b << 28) >> 28
+    hi = b >> 4
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
 def quantize_rows_int4_host(x: "np.ndarray"):
