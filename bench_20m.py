@@ -67,6 +67,15 @@ RECALL_GATE = 0.90
 
 CACHE = ".bench_cache"
 
+# B20_DTYPE=int4 runs the same benchmark on a packed int4 store (7.7 GB
+# vs int8's 15.4 — the capacity rung toward ~40M rows/chip). int4's ~4e-3
+# cosine error needs a deeper exact-rerank pool (tpulmi/ops/quantize.py),
+# so the base depth and the shallower-depth A/B shift accordingly.
+STORE_DTYPE = os.environ.get("B20_DTYPE", "int8")
+ELEM_BYTES = 0.5 if STORE_DTYPE == "int4" else 1
+RR_BASE = 30 if STORE_DTYPE == "int4" else 10
+RR_AB = (20, 14) if STORE_DTYPE == "int4" else (6, 4)
+
 
 def _ground_truth(ds):
     path = os.path.join(CACHE, f"gt20m_n{N}_q{N_QUERIES}_s{SEED}_k{K}.npz")
@@ -120,7 +129,7 @@ def main():
     # host-RAM copies in the remote-backend client and OOMs the host
     hi.build_with_host_store(
         ds["data_nav"].astype(ml_dtypes.bfloat16), ds["data_search"],
-        normalized=True, store_dtype="int8", overlap_upload=True,
+        normalized=True, store_dtype=STORE_DTYPE, overlap_upload=True,
     )
     t_build = time.perf_counter() - t_build
 
@@ -147,7 +156,7 @@ def main():
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
     def run_once(probes, bq, rerank_dtype="float32", probe_mass=None,
-                 worklist=False, rerank_extra=10):
+                 worklist=False, rerank_extra=RR_BASE):
         # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
         # query tiles (exact rerank absorbs the quantization noise);
         # qc=192 reads each bucket's data once at the ~164-slot typical
@@ -263,8 +272,8 @@ def main():
     # threshold, fewer extraction merges) and the single-core host
     # rerank's gather volume. The default 10 is conservative; adopt a
     # shallower depth when it keeps the gate and wins time.
-    rerank_extra_used = 10
-    for extra in (6, 4):
+    rerank_extra_used = RR_BASE
+    for extra in RR_AB:
         try:
             te, re_ = run_once(probes_used, batch_q["bq"],
                                rerank_dtype=rerank_dtype_used,
@@ -330,16 +339,19 @@ def main():
     counts = np.asarray(jax.device_get(built.store.counts))
     # Pallas kernel tiles actually used by this config: qc=192, mc=1024
     flops, bytes_hbm = probe_work_model(
-        slot_counts, counts, D_SEARCH, 192, 1024, 1)  # int8: 1 B/elem
+        slot_counts, counts, D_SEARCH, 192, 1024,
+        ELEM_BYTES)  # int8: 1 B/elem; packed int4: 0.5
 
     ok = recall >= RECALL_GATE
     if sustained_qps is not None and sustained_qps <= qps:
         sustained_qps = None  # pipeline failed to help; keep single-call
     headline = sustained_qps if sustained_qps else qps
     result = {
-        "metric": ("sustained_search_qps_20M_hier_int8_recall>=0.90"
+        "metric": (f"sustained_search_qps_20M_hier_{STORE_DTYPE}"
+                   "_recall>=0.90"
                    if sustained_qps else
-                   "search_qps_10k_queries_20M_hier_int8_recall>=0.90"),
+                   f"search_qps_10k_queries_20M_hier_{STORE_DTYPE}"
+                   "_recall>=0.90"),
         "value": round(headline, 1),
         "unit": "queries/s",
         "vs_baseline": round(headline / REF_QPS, 2) if ok else 0.0,
@@ -357,7 +369,7 @@ def main():
         "build_s": round(t_build, 2),
         "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
         "n_rows": N,
-        "store": "int8+rerank",
+        "store": f"{STORE_DTYPE}+rerank",
         "rerank_dtype": rerank_dtype_used,
         "rerank_extra": rerank_extra_used,
         "probe_mass": probe_mass_used,
