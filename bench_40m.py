@@ -1,0 +1,40 @@
+"""tpulmi 40M benchmark — 4x the reference's largest published run, ONE chip.
+
+The reference's biggest result is 10M rows on one EPYC core
+(`/root/reference/README.md:16-24`). This drives the bench_20m harness at
+FORTY million 768-d rows on one 16 GB TPU chip, which only the packed int4
+store makes possible:
+
+- packed int4 store (tpulmi/ops/quantize.py): 40M x 768 x 0.5 B ≈ 15.4 GB
+  — int8 (30.7 GB) and bf16 (61.4 GB) cannot fit;
+- 16 outer groups x 61 inner buckets = 976 global buckets, preserving the
+  ~41k rows/bucket geometry the kernel tiling was measured at (NOTES.md);
+- exact host rerank with the int4-depth candidate pool erases the ~4e-3
+  quantization error.
+
+Same JSON schema / recall gate as bench_20m.py (baseline = the reference's
+10M numbers, the largest it can do at all).
+"""
+import os
+import sys
+
+os.environ.setdefault("B20_N", "40000000")
+os.environ.setdefault("B20_GROUPS", "16")
+os.environ.setdefault("B20_INNER", "61")
+os.environ.setdefault("B20_CLUSTERS", "488")
+os.environ.setdefault("B20_DTYPE", "int4")
+# 976 buckets: the 20M gate cleared at 8/488 probes (same bucket size),
+# so equivalent row coverage here is ~16 probes — sweep around it
+os.environ.setdefault("B20_SWEEP", "12,16,24,32,48")
+
+import bench_20m  # noqa: E402  (reads the env at import)
+
+if __name__ == "__main__":
+    try:
+        code = bench_20m.main()
+    except BaseException:  # noqa: BLE001 — remote teardown hangs after errors
+        import traceback
+        traceback.print_exc()
+        sys.stderr.flush()
+        os._exit(1)
+    os._exit(code)
