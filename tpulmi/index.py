@@ -42,6 +42,18 @@ from tpulmi.utils.logging import get_logger
 log = get_logger("tpulmi.index")
 
 
+def _host_mem_available():
+    """Host MemAvailable in bytes, or None where /proc/meminfo is absent."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
 @dataclass
 class BuiltIndex:
     """Everything the query path needs, device-resident."""
@@ -550,6 +562,19 @@ class LearnedIndex:
         if rerank_dtype == "float16":
             shadow = getattr(self, "_rerank_shadow", None)
             if shadow is None or shadow[0] is not corpus:
+                # The shadow is a full-size f16 copy of the corpus. At 40M
+                # rows that is ~61 GB on top of the resident corpus — past
+                # available host RAM the allocation would not raise, the
+                # kernel OOM killer would SIGKILL the process mid-benchmark.
+                # Refuse with a catchable error instead.
+                need = 2 * int(np.prod(np.asarray(corpus[:1]).shape)) * len(
+                    corpus)
+                avail = _host_mem_available()
+                if avail is not None and need > avail - (8 << 30):
+                    raise RuntimeError(
+                        f"f16 rerank shadow needs {need / 2**30:.1f} GiB but "
+                        f"only {avail / 2**30:.1f} GiB host RAM is available"
+                        " — skipping would OOM-kill the process")
                 shadow = (corpus, np.asarray(corpus, np.float16))
                 self._rerank_shadow = shadow
             src = shadow[1]
