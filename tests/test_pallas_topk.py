@@ -286,6 +286,39 @@ def test_pallas_dump_ids_dropped(rng):
     assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
 
 
+def test_pallas_dump_ids_dropped_worklist(rng):
+    """Dump ids on the FLAT WORKLIST grid (regression): dumped slots sit in
+    blocks the worklist gives zero grid steps, so their output tiles are
+    never written — the scatter-back must route them to the discard row,
+    not copy uninitialized tiles into real (query, probe) slots (measured
+    on hardware at 300K: probe_mass + pallas_worklist collapsed recall
+    0.9653 -> 0.0488 before the fix). Interpret mode fills unvisited tiles
+    with NaN, which LOSES the top-k merge — so the only interpret-visible
+    symptom is a query whose every probe is dumped: it must come back all
+    sentinel (the XLA pipeline's answer), not NaN."""
+    data, queries, labels, store = _setup(rng)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:4] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    drop = rng.random(probes.shape) < 0.5
+    drop[:, 0] = False
+    drop[:8, :] = True  # all-dumped queries: sentinels must surface
+    probes_dumped = np.where(drop, c, probes).astype(np.int32)
+
+    max_bucket = int(np.asarray(store.counts).max())
+    mc = 256
+    d_p, i_p, _, wl_total = pallas_probe_search(
+        jnp.asarray(probes_dumped), jnp.asarray(queries), store,
+        k=10, qc=128, mc=mc, max_chunks=-(-max_bucket // mc),
+        compute_dtype=jnp.float32, interpret=True, wl_pad=4096,
+    )
+    d_x, i_x = probe_search(probes_dumped, queries, store, k=10,
+                            data_chunk=mc)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+    assert (np.asarray(i_p) == np.asarray(i_x)).mean() > 0.99
+
+
 def test_worklist_smem_cap(rng, monkeypatch):
     """The worklist is a scalar-prefetch SMEM operand: the kernel refuses
     pads above WL_PAD_MAX, and the facade's estimator falls back to the

@@ -613,7 +613,16 @@ def pallas_probe_search(
     rank = jnp.arange(n_slots, dtype=jnp.int32) - jnp.take(raw_off, sorted_buckets)
     pos = jnp.take(aligned_off, sorted_buckets) + rank
 
-    slot_order_aligned = jnp.full((s_align,), n_slots, jnp.int32).at[pos].set(order)
+    # Dumped slots (probe_mass truncation points them at bucket id == n_cat)
+    # must NOT enter the block layout: their positions sit past every live
+    # bucket's aligned region, in blocks the flat worklist gives ZERO grid
+    # steps — those output tiles are never written, and scattering them back
+    # would copy uninitialized memory into real (query, probe) slots
+    # (measured at 300K: probe_mass + worklist collapsed recall to 0.05).
+    # Mapping them to the discard row n_slots keeps their merge rows at the
+    # sentinel init, identical to the dense grid's empty-block semantics.
+    slot_order_aligned = jnp.full((s_align,), n_slots, jnp.int32).at[pos].set(
+        jnp.where(sorted_buckets < n_cat, order, n_slots))
     q_idx = jnp.minimum(slot_order_aligned // p, q - 1)
     quantized = store.is_quantized
     int8q = bool(int8_queries) and quantized
