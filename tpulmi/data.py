@@ -387,19 +387,51 @@ def _synthetic_big_host(n, n_queries, d_nav, d_search, n_clusters, seed,
                           np.float32(1e-12))
         return x, nav
 
-    ds_mm = np.lib.format.open_memmap(
-        paths["data_search"], mode="w+", dtype=np.uint16, shape=(n, d_search))
-    dn_mm = np.lib.format.open_memmap(
-        paths["data_nav"], mode="w+", dtype=np.float32, shape=(n, d_nav))
+    # Per-chunk RNG streams are independent of completion order, so a
+    # killed/crashed generation resumes at the first unwritten chunk (the
+    # sidecar marker records completed rows). At 40M rows this phase is
+    # hours on a 1-core host — without resume, any restart pays it all.
+    marker = paths["data_search"] + ".progress"
+    done_rows = 0
+    if os.path.exists(marker) and os.path.exists(paths["data_search"]) \
+            and os.path.exists(paths["data_nav"]):
+        try:
+            with open(marker) as f:
+                done_rows = min(int(f.read().strip() or 0), n)
+        except (OSError, ValueError):
+            done_rows = 0
+    resume = done_rows > 0
+    try:
+        ds_mm = np.lib.format.open_memmap(
+            paths["data_search"], mode="r+" if resume else "w+",
+            dtype=np.uint16, shape=(n, d_search))
+        dn_mm = np.lib.format.open_memmap(
+            paths["data_nav"], mode="r+" if resume else "w+",
+            dtype=np.float32, shape=(n, d_nav))
+    except ValueError:  # stale file with a different shape/dtype
+        done_rows = 0
+        ds_mm = np.lib.format.open_memmap(
+            paths["data_search"], mode="w+", dtype=np.uint16,
+            shape=(n, d_search))
+        dn_mm = np.lib.format.open_memmap(
+            paths["data_nav"], mode="w+", dtype=np.float32, shape=(n, d_nav))
+    if done_rows:
+        log.info("big datagen (host): resuming at %d/%d rows", done_rows, n)
     for i, lo in enumerate(range(0, n, chunk)):
         hi = min(lo + chunk, n)
+        if hi <= done_rows:
+            continue
         x, nav = gen_chunk(i, assignments[lo:hi])
         ds_mm[lo:hi] = _f32_to_bf16_bits(x)
         dn_mm[lo:hi] = nav
+        with open(marker, "w") as f:
+            f.write(str(hi))
         log.info("big datagen (host): %d/%d rows", hi, n)
     ds_mm.flush()
     dn_mm.flush()
     del ds_mm, dn_mm
+    if os.path.exists(marker):
+        os.remove(marker)
 
     qx, qnav = gen_chunk(1_000_003, q_assign)  # distinct from any chunk index
     # match the device path: queries round-trip bf16 then renormalize in f32
