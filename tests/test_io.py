@@ -98,3 +98,37 @@ def test_synthetic_dataset_big_host_backend(tmp_path):
         np.asarray(ds2["data_search"]).view(np.uint16),
         np.asarray(ds["data_search"]).view(np.uint16))
     np.testing.assert_array_equal(ds2["queries_nav"], ds["queries_nav"])
+
+
+def test_big_host_datagen_resumes(tmp_path):
+    """A killed big-corpus generation resumes at the first unwritten chunk
+    (the sidecar .progress marker) and the resumed output is byte-identical
+    to a fresh generation — per-chunk RNG streams are independent of
+    completion order (tpulmi/data.py::_synthetic_big_host)."""
+    import os
+
+    from tpulmi.data import _synthetic_big_host
+
+    paths = {k: str(tmp_path / (k + ".npy")) for k in
+             ("data_nav", "data_search", "queries_nav", "queries_search")}
+    kw = dict(n=5000, n_queries=16, d_nav=8, d_search=32, n_clusters=4,
+              seed=7, cluster_std=0.9, skew=1.5, chunk=1000, paths=paths)
+    full = _synthetic_big_host(**kw)
+    ref_ds = np.array(np.asarray(full["data_search"]).view(np.uint16))
+    ref_dn = np.array(full["data_nav"])
+    del full
+
+    # simulate a crash after 2 chunks: corrupt the tail, write the marker
+    ds = np.lib.format.open_memmap(paths["data_search"], mode="r+")
+    ds[2000:] = 0xABCD
+    dn = np.lib.format.open_memmap(paths["data_nav"], mode="r+")
+    dn[2000:] = -99.0
+    del ds, dn
+    with open(paths["data_search"] + ".progress", "w") as f:
+        f.write("2000")
+
+    resumed = _synthetic_big_host(**kw)
+    assert np.array_equal(
+        np.array(np.asarray(resumed["data_search"]).view(np.uint16)), ref_ds)
+    assert np.array_equal(np.array(resumed["data_nav"]), ref_dn)
+    assert not os.path.exists(paths["data_search"] + ".progress")
