@@ -82,6 +82,12 @@ STORE_DTYPE = os.environ.get("B20_DTYPE", "int8")
 ELEM_BYTES = 0.5 if STORE_DTYPE == "int4" else 1
 RR_BASE = 30 if STORE_DTYPE == "int4" else 10
 RR_AB = (20, 14) if STORE_DTYPE == "int4" else (6, 4)
+# Kernel query-block size. 192 is the kbench optimum at the 488-bucket 20M
+# shape, but the per-slot device buffers (query tiles + (qc, 128) output
+# tiles) carry an n_cat*qc alignment floor — at 40M/976 buckets the store
+# alone is ~16.07 GB of the ~16.5 GB chip, so bench_40m drops to qc=128 to
+# shrink that floor (976*192*1.8KB ≈ 340 MB -> 225 MB).
+PALLAS_QC = int(os.environ.get("B20_QC", 192))
 
 
 def _ground_truth(ds):
@@ -172,7 +178,8 @@ def main():
         # replica: 20.7 ms vs 32.3 ms round-2 config, 0.489 of measured
         # HBM bandwidth)
         scfg = SearchConfig(k=K, n_buckets=probes, batch_queries=bq,
-                            pallas_qc=192, pallas_mc=1024, int8_queries=True,
+                            pallas_qc=PALLAS_QC, pallas_mc=1024,
+                            int8_queries=True,
                             rerank_dtype=rerank_dtype,
                             probe_mass=probe_mass,
                             pallas_worklist=worklist,
@@ -191,17 +198,24 @@ def main():
         return t, recall
 
     batch_q = {"bq": N_QUERIES}
+    # smaller batches shrink the per-slot device buffers (probes*bq slots);
+    # the n_cat*qc alignment floor stays, so past 1000 there is nothing
+    # left to reclaim — below that, the budget is simply too deep for the
+    # chip's free HBM and run_at raises
+    BQ_LADDER = (2500, 1000)
 
     def run_at(probes, timed_runs):
-        try:
-            t, r = run_once(probes, batch_q["bq"])
-        except Exception as e:
-            if batch_q["bq"] == 2500:
-                raise
-            print(f"# bq={batch_q['bq']} failed ({e}); retrying bq=2500",
-                  file=sys.stderr, flush=True)
-            batch_q["bq"] = 2500
-            t, r = run_once(probes, 2500)
+        while True:
+            try:
+                t, r = run_once(probes, batch_q["bq"])
+                break
+            except Exception as e:
+                smaller = [b for b in BQ_LADDER if b < batch_q["bq"]]
+                if not smaller:
+                    raise
+                print(f"# bq={batch_q['bq']} failed ({e}); retrying "
+                      f"bq={smaller[0]}", file=sys.stderr, flush=True)
+                batch_q["bq"] = smaller[0]
         for _ in range(timed_runs - 1):
             t2, _ = run_once(probes, batch_q["bq"])
             t = min(t, t2)
@@ -306,7 +320,7 @@ def main():
     try:
         scfg_best = SearchConfig(
             k=K, n_buckets=probes_used, batch_queries=batch_q["bq"],
-            pallas_qc=192, pallas_mc=1024, int8_queries=True,
+            pallas_qc=PALLAS_QC, pallas_mc=1024, int8_queries=True,
             rerank_dtype=rerank_dtype_used, probe_mass=probe_mass_used,
             pallas_worklist=worklist_used, rerank_extra=rerank_extra_used)
         batches = [(q_nav, q_search, q_host)] * STREAM_BATCHES
@@ -347,7 +361,7 @@ def main():
     counts = np.asarray(jax.device_get(built.store.counts))
     # Pallas kernel tiles actually used by this config: qc=192, mc=1024
     flops, bytes_hbm = probe_work_model(
-        slot_counts, counts, D_SEARCH, 192, 1024,
+        slot_counts, counts, D_SEARCH, PALLAS_QC, 1024,
         ELEM_BYTES)  # int8: 1 B/elem; packed int4: 0.5
 
     ok = recall >= RECALL_GATE

@@ -23,6 +23,9 @@ os.environ.setdefault("B20_GROUPS", "16")
 os.environ.setdefault("B20_INNER", "61")
 os.environ.setdefault("B20_CLUSTERS", "488")
 os.environ.setdefault("B20_DTYPE", "int4")
+# qc=128 shrinks the kernel's n_cat*qc per-slot buffer floor: at 976
+# buckets the 15.74 GB store + ids + scales leave only ~400 MB of HBM
+os.environ.setdefault("B20_QC", "128")
 # 976 buckets: the 20M gate cleared at 8/488 probes (same bucket size),
 # so equivalent row coverage here is ~16 probes — sweep around it
 os.environ.setdefault("B20_SWEEP", "12,16,24,32,48")
