@@ -22,7 +22,7 @@ def _unit(rng, n, d):
 N_DEV = 4
 
 
-@pytest.mark.parametrize("store_dtype", ["float32", "int8"])
+@pytest.mark.parametrize("store_dtype", ["float32", "int8", "int4"])
 def test_shard_from_host_matches_shard_store(rng, store_dtype):
     """shard_store_from_host(arrays, mesh) must produce exactly the shards
     shard_store builds from a one-device store of the same layout — with a
@@ -48,8 +48,10 @@ def test_shard_from_host_matches_shard_store(rng, store_dtype):
         n=arrays.n, pad_rows=arrays.pad_rows, row_align=arrays.row_align,
         scales=(jax.numpy.asarray(arrays.scales)
                 if arrays.scales is not None else None),
+        quant_bits=arrays.quant_bits,
     )
     want = shard_store(flat, N_DEV)
+    assert sstore.quant_bits == want.quant_bits == arrays.quant_bits
 
     np.testing.assert_array_equal(
         np.asarray(jax.device_get(sstore.ids_sorted)),
@@ -66,7 +68,7 @@ def test_shard_from_host_matches_shard_store(rng, store_dtype):
     got_data = np.asarray(jax.device_get(sstore.data_sorted), np.float32)
     want_data = np.asarray(jax.device_get(want.data_sorted), np.float32)
     np.testing.assert_array_equal(got_data, want_data)
-    if store_dtype == "int8":
+    if store_dtype in ("int8", "int4"):
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(sstore.scales)),
             np.asarray(jax.device_get(want.scales)))
