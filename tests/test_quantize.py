@@ -233,7 +233,10 @@ def test_native_rerank_dot_parity(rng, monkeypatch):
     ids[0, :3] = -1
     qs = _unit(rng, q, d)
 
-    for src in (corpus, corpus.astype(np.float16)):
+    import ml_dtypes
+
+    for src in (corpus, corpus.astype(np.float16),
+                corpus.astype(ml_dtypes.bfloat16)):
         sims = native_layout.rerank_dot(src, ids, qs, normalized=True)
         rows = src[np.maximum(ids, 0).reshape(-1)].astype(
             np.float32).reshape(q, keff, d)

@@ -585,7 +585,8 @@ class LearnedIndex:
         # against its query in C++ (F16C/FMA), skipping the (Q, K, d)
         # gathered block and the batched-matmul pass entirely
         sims = None
-        if (src is not None and src.dtype in (np.float32, np.float16)
+        if (src is not None
+                and str(src.dtype) in ("float32", "float16", "bfloat16")
                 and src.flags["C_CONTIGUOUS"]):
             from tpulmi.native import native_layout
 

@@ -128,12 +128,14 @@ class _NativeLayout:
         """Fused candidate gather + dot: `sims[i, j] = queries[i] ·
         corpus[max(ids[i, j], 0)]` (rows L2-normalized on the fly unless
         `normalized`), one pass over the candidate bytes, no (Q, K, d)
-        intermediate. `corpus` must be a contiguous 2-D f32 or f16 array
-        (the rerank corpus or its f16 shadow)."""
+        intermediate. `corpus` must be a contiguous 2-D f32, f16, or bf16
+        array (the rerank corpus — the big benches cache it as bf16 — or
+        its f16 shadow)."""
         lib = self._load()
         if lib is None:
             raise RuntimeError("native rerank kernel unavailable")
-        code = {"float32": 0, "float16": 1}.get(str(corpus.dtype))
+        code = {"float32": 0, "float16": 1, "bfloat16": 2}.get(
+            str(corpus.dtype))
         if code is None:
             raise ValueError(f"unsupported rerank corpus dtype {corpus.dtype}")
         if not corpus.flags["C_CONTIGUOUS"]:

@@ -184,8 +184,10 @@ extern "C" int tpulmi_scatter_rows(
 // ---------------------------------------------------------------------------
 
 #if defined(__F16C__) && defined(__FMA__) && defined(__AVX__)
-#include <immintrin.h>
 #define TPULMI_VEC_F16 1
+#endif
+#if defined(TPULMI_VEC_F16) || (defined(__AVX2__) && defined(__FMA__))
+#include <immintrin.h>
 #endif
 
 namespace {
@@ -265,14 +267,57 @@ inline float dot_f16(const float* q, const uint16_t* row, int64_t d,
   return s;
 }
 
+// bf16 rows: the conversion is a 16-bit left shift — vectorized it is a
+// zero-extend + shift + bitcast (AVX2), cheaper than the f16 cvtph path.
+// This serves big-corpus reranks directly from the bf16 corpus the
+// benches cache on disk, with no f16 shadow copy (at 40M rows the shadow
+// alone is ~61 GB of host RAM — see tpulmi/index.py's shadow guard).
+inline float dot_bf16(const float* q, const uint16_t* row, int64_t d,
+                      int normalize) {
+#if defined(__AVX2__) && defined(__FMA__)
+  __m256 acc = _mm256_setzero_ps();
+  __m256 nrm = _mm256_setzero_ps();
+  int64_t l = 0;
+  for (; l + 8 <= d; l += 8) {
+    __m256i bits = _mm256_cvtepu16_epi32(
+        _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + l)));
+    __m256 r = _mm256_castsi256_ps(_mm256_slli_epi32(bits, 16));
+    acc = _mm256_fmadd_ps(_mm256_loadu_ps(q + l), r, acc);
+    if (normalize) nrm = _mm256_fmadd_ps(r, r, nrm);
+  }
+  float acc8[8], nrm8[8];
+  _mm256_storeu_ps(acc8, acc);
+  _mm256_storeu_ps(nrm8, nrm);
+  float s = 0.f, n2 = 0.f;
+  for (int u = 0; u < 8; ++u) { s += acc8[u]; n2 += nrm8[u]; }
+  for (; l < d; ++l) {
+    float r = bf16_to_f32(row[l]);
+    s += q[l] * r;
+    if (normalize) n2 += r * r;
+  }
+#else
+  float s = 0.f, n2 = 0.f;
+  for (int64_t l = 0; l < d; ++l) {
+    float r = bf16_to_f32(row[l]);
+    s += q[l] * r;
+    if (normalize) n2 += r * r;
+  }
+#endif
+  if (normalize) {
+    float nrm_s = std::sqrt(n2);
+    s /= (nrm_s > 1e-12f ? nrm_s : 1e-12f);
+  }
+  return s;
+}
+
 }  // namespace
 
 extern "C" int tpulmi_rerank_dot(
-    const void* corpus, int corpus_dtype,  // 0 = f32, 1 = f16
+    const void* corpus, int corpus_dtype,  // 0 = f32, 1 = f16, 2 = bf16
     const int64_t* ids, const float* queries, float* out_sims,
     int64_t q, int64_t k_eff, int64_t d, int64_t n_rows,
     int normalize, int n_threads) {
-  if (corpus_dtype != 0 && corpus_dtype != 1) return 1;
+  if (corpus_dtype != 0 && corpus_dtype != 1 && corpus_dtype != 2) return 1;
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 64) n_threads = 64;
   auto run = [&](int64_t i0, int64_t i1) {
@@ -286,10 +331,14 @@ extern "C" int tpulmi_rerank_dot(
         if (corpus_dtype == 0) {
           s = dot_f32(qv, reinterpret_cast<const float*>(corpus) + id * d,
                       d, normalize);
-        } else {
+        } else if (corpus_dtype == 1) {
           s = dot_f16(qv,
                       reinterpret_cast<const uint16_t*>(corpus) + id * d,
                       d, normalize);
+        } else {
+          s = dot_bf16(qv,
+                       reinterpret_cast<const uint16_t*>(corpus) + id * d,
+                       d, normalize);
         }
         out_sims[i * k_eff + j] = s;
       }
