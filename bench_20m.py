@@ -96,10 +96,16 @@ def _ground_truth(ds):
     if os.path.exists(path):
         return np.load(path)["ids"]
     t0 = time.perf_counter()
-    _, ids = exact_knn_streamed(ds["queries_search"], ds["data_search"], k=K)
+    # crash-resumable: the 40M pass streams 61 GB through the relay for
+    # ~an hour, and the backend can wedge mid-stream (NOTES.md rules 7-9)
+    part = path + ".part"
+    _, ids = exact_knn_streamed(ds["queries_search"], ds["data_search"], k=K,
+                                resume_path=part)
     ids = ids + 1
     print(f"# ground truth in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
     np.savez_compressed(path, ids=ids)
+    if os.path.exists(part):
+        os.remove(part)
     return ids
 
 

@@ -54,6 +54,71 @@ def test_exact_knn_streamed_matches_exact(rng):
     np.testing.assert_array_equal(i_s, np.asarray(i_e))
 
 
+def test_exact_knn_streamed_resume(rng, tmp_path, monkeypatch):
+    """The checkpointed oracle must survive a mid-stream crash: a rerun
+    resumes from the last checkpoint (skipping the merged chunks) and the
+    final result is identical to an uninterrupted run; a checkpoint from
+    different queries is detected stale and ignored."""
+    import jax.numpy as jnp
+
+    import tpulmi.baseline as baseline
+
+    data = rng.normal(size=(2048, 32)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = rng.normal(size=(16, 32)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    part = str(tmp_path / "gt.part")
+
+    d_ref, i_ref = exact_knn_streamed(queries, data, k=5, chunk=256,
+                                      compute_dtype=jnp.float32)
+
+    merged = []
+    orig = baseline._merge_chunk
+
+    def crashy(best_d, best_i, q, block, base, valid, *, k):
+        if len(merged) == 5:
+            raise RuntimeError("injected backend wedge")
+        merged.append(int(base))
+        return orig(best_d, best_i, q, block, base, valid, k=k)
+
+    monkeypatch.setattr(baseline, "_merge_chunk", crashy)
+    with pytest.raises(RuntimeError, match="injected"):
+        exact_knn_streamed(queries, data, k=5, chunk=256,
+                           compute_dtype=jnp.float32, resume_path=part,
+                           checkpoint_every=2)
+    assert len(merged) == 5  # crashed after 5 of 8 chunks
+    import os
+
+    assert os.path.exists(part)  # checkpoint at chunk 4 (every=2)
+
+    merged.clear()
+    monkeypatch.setattr(
+        baseline, "_merge_chunk",
+        lambda *a, **kw: (merged.append(int(a[4])), orig(*a, **kw))[1])
+    d_r, i_r = exact_knn_streamed(queries, data, k=5, chunk=256,
+                                  compute_dtype=jnp.float32,
+                                  resume_path=part, checkpoint_every=2)
+    assert merged[0] == 4 * 256  # resumed at the checkpoint, not zero
+    np.testing.assert_allclose(d_r, d_ref, atol=1e-6)
+    np.testing.assert_array_equal(i_r, i_ref)
+
+    # a stale checkpoint (different queries) must be ignored, not merged
+    exact_knn_streamed(queries, data, k=5, chunk=256,
+                       compute_dtype=jnp.float32, resume_path=part,
+                       checkpoint_every=2)
+    assert os.path.exists(part)
+    merged.clear()
+    q2 = np.roll(queries, 1, axis=0) * 0.5
+    d2, i2 = exact_knn_streamed(q2, data, k=5, chunk=256,
+                                compute_dtype=jnp.float32, resume_path=part,
+                                checkpoint_every=2)
+    assert merged[0] == 0  # started fresh
+    d2_ref, i2_ref = exact_knn_streamed(q2, data, k=5, chunk=256,
+                                        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(d2, d2_ref, atol=1e-6)
+    np.testing.assert_array_equal(i2, i2_ref)
+
+
 def test_exact_knn_streamed_bf16_corpus(rng):
     data = rng.normal(size=(1000, 64)).astype(np.float32)
     data /= np.linalg.norm(data, axis=1, keepdims=True)

@@ -7,6 +7,7 @@ also handles multi-million-row data (it is the same kernel family the probe
 rerank uses).
 """
 
+import os
 import time
 from functools import partial
 from typing import Tuple
@@ -50,13 +51,26 @@ def exact_knn_streamed(
     chunk: int = 262144,
     compute_dtype=jnp.bfloat16,
     normalized: bool = True,
+    resume_path: str = None,
+    checkpoint_every: int = 32,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact cosine k-NN over a corpus that lives in HOST memory: data blocks
     stream to the device chunk by chunk with a running top-k merge, so the
     device never holds more than one block. For corpora larger than HBM
-    (e.g. ground-truth generation at 10M x 768)."""
+    (e.g. ground-truth generation at 10M x 768).
+
+    ``resume_path`` makes the scan crash-resumable: every
+    ``checkpoint_every`` chunks the running (best_d, best_i, next_lo) state
+    — ~800 KB at 10k queries — is written atomically, and a rerun continues
+    from the last checkpoint instead of re-streaming the corpus (the 40M
+    ground-truth pass moves 61 GB through the relay over ~an hour; the
+    backend can wedge mid-stream — NOTES.md rules 7-9). The checkpoint is
+    validated against (n, q, k, chunk) and a query checksum; any mismatch
+    starts fresh. The caller owns deleting the file once the final result
+    is cached."""
     q = queries.shape[0]
-    queries_d = jnp.asarray(np.asarray(queries, np.float32))
+    q_host = np.asarray(queries, np.float32)
+    queries_d = jnp.asarray(q_host)
     if not normalized:
         from tpulmi.ops.distance import l2_normalize
 
@@ -65,7 +79,28 @@ def exact_knn_streamed(
     best_d = jnp.full((q, k), SENTINEL_DIST, jnp.float32)
     best_i = jnp.zeros((q, k), jnp.int32)
     n = host_data.shape[0]
-    for lo in range(0, n, chunk):
+    start_lo = 0
+    q_sum = float(np.float64(q_host.sum()))
+    if resume_path:
+        if os.path.exists(resume_path):
+            try:
+                z = np.load(resume_path)
+                ok = (int(z["n"]) == n and int(z["k"]) == k
+                      and int(z["chunk"]) == chunk
+                      and z["best_d"].shape == (q, k)
+                      and abs(float(z["q_sum"]) - q_sum) <= 1e-3)
+            except Exception:  # noqa: BLE001 — torn/stale file: start fresh
+                ok = False
+            if ok:
+                start_lo = int(z["lo"])
+                best_d = jnp.asarray(z["best_d"])
+                best_i = jnp.asarray(z["best_i"])
+                log.info("exact_knn_streamed: resuming at %d/%d rows",
+                         start_lo, n)
+            else:
+                log.warning("exact_knn_streamed: stale checkpoint at %s "
+                            "ignored", resume_path)
+    for lo in range(start_lo, n, chunk):
         hi = min(lo + chunk, n)
         block = np.zeros((chunk, host_data.shape[1]), dtype=np.asarray(
             host_data[:1]).dtype)
@@ -86,6 +121,16 @@ def exact_knn_streamed(
             jax.device_get(best_d[-1:, :1])
         if lo // chunk % 8 == 0:
             log.info("exact_knn_streamed: %d/%d rows", hi, n)
+        if (resume_path and hi < n
+                and lo // chunk % checkpoint_every == checkpoint_every - 1):
+            # np.savez appends .npz to extension-less names — write the
+            # tmp with it, then atomically rename over resume_path
+            tmp = resume_path + ".tmp.npz"
+            np.savez(tmp,
+                     best_d=np.asarray(jax.device_get(best_d)),
+                     best_i=np.asarray(jax.device_get(best_i)),
+                     lo=hi, n=n, k=k, chunk=chunk, q_sum=q_sum)
+            os.replace(tmp, resume_path)
     return np.asarray(jax.device_get(best_d)), np.asarray(jax.device_get(best_i))
 
 
