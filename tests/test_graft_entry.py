@@ -24,8 +24,9 @@ def test_entry_compiles_and_runs():
     dists, ids = np.asarray(dists), np.asarray(ids)
     q = args[1].shape[0]
     assert dists.shape == (q, 10) and ids.shape == (q, 10)
-    # distances ascend per row; ids are valid 1-based rows or the pad
-    # sentinel used for sub-k buckets
+    # distances ascend per row; ids are valid 0-based store rows (these
+    # shapes guarantee >= k candidates per query, so the -1 pad sentinel
+    # for sub-k coverage never survives the merge)
     assert np.all(np.diff(dists, axis=1) >= -1e-6)
     assert np.isfinite(dists[:, 0]).all()
     assert ids.min() >= 0
