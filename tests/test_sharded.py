@@ -203,3 +203,96 @@ def test_build_distributed(rng, synthetic_small, mesh8):
     _, ids2 = li.search(qn, qs, n_buckets=6, k=10,
                         search_config=SearchConfig(k=10, backend="xla"))
     np.testing.assert_array_equal(ids2, ids)
+
+
+def _pallas_index(rng, n=4096, d_nav=24, d=128, c=16, row_align=128):
+    """A facade index whose store satisfies the Pallas kernel's alignment
+    (d % 128 == 0, row_align % mc == 0) so backend="pallas" applies on
+    every shard (per-shard stores inherit row_align)."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig
+
+    data_nav = rng.normal(size=(n, d_nav)).astype(np.float32)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    li = LearnedIndex(IndexConfig(
+        n_categories=c, epochs=4, lr=0.003, batch_size=512,
+        row_align=row_align,
+    ))
+    li.build(data_nav, data)
+    return li, data_nav, data
+
+
+def test_facade_shard_pallas_matches_xla(rng, mesh8):
+    """backend="pallas" through the facade's sharded program (the fused
+    kernel running per shard under shard_map, interpret mode on CPU) must
+    return the single-chip k-set — the multi-chip path inherits the
+    measured ~3.3x kernel speedup (NOTES.md) instead of being pinned to
+    the XLA pipeline."""
+    from tpulmi.utils.config import SearchConfig
+
+    li, data_nav, data = _pallas_index(rng)
+    qn, qs = data_nav[:48], data[:48]
+    scfg_x = SearchConfig(k=10, backend="xla", compute_dtype=None)
+    scfg_p = SearchConfig(k=10, backend="pallas", compute_dtype=None,
+                          pallas_qc=128, pallas_mc=128,
+                          pallas_extract="scalar")
+    d_single, i_single = li.search(qn, qs, n_buckets=4, k=10,
+                                   search_config=scfg_x)
+    li.shard(mesh8)
+    d_x, i_x = li.search(qn, qs, n_buckets=4, k=10, search_config=scfg_x)
+    d_p, i_p = li.search(qn, qs, n_buckets=4, k=10, search_config=scfg_p)
+    np.testing.assert_allclose(d_p, d_single, atol=1e-5)
+    np.testing.assert_allclose(d_p, d_x, atol=1e-5)
+    assert (i_p == i_x).mean() > 0.99
+    assert (i_p == i_single).mean() > 0.99
+
+
+def test_facade_shard_pallas_quantized_rerank(rng, mesh8):
+    """Sharded pallas over an int8 store with int8 query tiles + the host
+    rerank: probing every bucket must reproduce the exact oracle (the
+    rerank erases both quantization errors)."""
+    from tpulmi.ops.distance import exact_knn
+    from tpulmi.utils.config import SearchConfig
+
+    li, data_nav, data = _pallas_index(rng, n=6000, row_align=1024)
+    li.quantize(host_corpus=data, normalized=True)
+    li.shard(mesh8)
+    qn, qs = data_nav[:32], data[:32]
+    scfg = SearchConfig(k=10, backend="pallas", compute_dtype=None,
+                        pallas_qc=128, pallas_mc=1024, int8_queries=True)
+    d_p, i_p = li.search(qn, qs, n_buckets=16, k=10, search_config=scfg)
+    want_d, want_i = exact_knn(qs, data, k=10, normalized=True)
+    np.testing.assert_array_equal(i_p, np.asarray(want_i) + 1)
+    np.testing.assert_allclose(d_p, np.asarray(want_d), atol=1e-5)
+
+
+def test_sharded_search_stream_dispatch_ahead(rng, mesh8):
+    """Sharded `search_stream` pipelines through the multi-chip program
+    (plan → dispatch-ahead → absorb) instead of degrading to sequential
+    `search` calls; results must equal per-batch `search` exactly."""
+    from tpulmi.utils.config import SearchConfig
+
+    li, data_nav, data = _pallas_index(rng)
+    li.shard(mesh8)
+    scfg = SearchConfig(k=10, backend="xla", compute_dtype=None)
+    batches = [(data_nav[lo:lo + 40], data[lo:lo + 40])
+               for lo in range(0, 200, 40)]
+    want = [li.search(qn, qs, n_buckets=4, k=10, search_config=scfg)
+            for qn, qs in batches]
+    assert ("sharded", 40, 4) in li._qpb_pads  # pads validated → pipeline on
+    calls = {"n": 0}
+    orig = li.search
+
+    def counting_search(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    li.search = counting_search
+    got = list(li.search_stream(batches, n_buckets=4, k=10,
+                                search_config=scfg, depth=2))
+    li.search = orig
+    assert calls["n"] == 0  # every batch dispatched ahead, none fell back
+    for (wd, wi), (gd, gi) in zip(want, got):
+        np.testing.assert_array_equal(gi, wi)
+        np.testing.assert_allclose(gd, wd, atol=1e-6)

@@ -756,13 +756,14 @@ class LearnedIndex:
         self._sharded = None
         self._sharded_programs = {}
 
-    def _search_sharded(self, queries_nav, queries_search, n_buckets: int,
-                        k: int, scfg,
-                        host_queries=None) -> Tuple[np.ndarray, np.ndarray]:
-        from tpulmi.parallel.sharded import make_sharded_search_program
-
+    def _plan_sharded(self, queries_nav, n_buckets: int, k: int,
+                      scfg: SearchConfig):
+        """Sharded counterpart of `_plan_search`: resolve the static
+        decisions of one multi-chip dispatch (backend, rerank depth, padding
+        classes) into a mutable plan shared by `_search_sharded` and the
+        dispatch-ahead loop in `search_stream`."""
         built = self.built
-        sstore, mesh = self._sharded
+        sstore, _ = self._sharded
         rerank = (scfg.rerank and built.store.is_quantized
                   and self._host_corpus is not None)
         k_eff = k + scfg.rerank_extra if rerank else k
@@ -772,55 +773,110 @@ class LearnedIndex:
                          size_class(max(built.max_bucket, 1)),
                          int(sstore.data_sorted.shape[1]))
         max_chunks = max(-(-built.max_bucket // data_chunk), 1)
+        # backend: same eligibility rule as the flat path, evaluated on the
+        # PER-SHARD store geometry (each shard inherits the flat store's
+        # row_align, so the kernel's block alignment holds shard-wise)
+        quantized = sstore.scales is not None
+        dim = int(sstore.data_sorted.shape[-1]) * (
+            2 if (quantized and sstore.quant_bits == 4) else 1)
+        backend = scfg.backend
+        if backend == "auto":
+            pallas_ok = (
+                dim % 128 == 0
+                and sstore.row_align % scfg.pallas_mc == 0
+                and int(sstore.data_sorted.shape[1]) % scfg.pallas_mc == 0
+                and k_eff <= 128
+                and (not quantized or scfg.pallas_mc % 1024 == 0)
+                and jax.devices()[0].platform != "cpu"
+            )
+            backend = "pallas" if pallas_ok else "xla"
         qpb_pad = scfg.queries_per_bucket_pad or self._qpb_pads.get(
             ("sharded", q, n_buckets),
             size_class(min(n_slots,
                            max(4 * n_slots // built.store.n_categories, 128))),
         )
-        while True:
-            # the probe pipeline reshapes (n_qchunks, qc) -> qpb_pad rows,
-            # so the pad must be a whole number of query chunks (512 inside
-            # the sharded program) — same rounding as the flat path
-            qpb_pad = -(-qpb_pad // min(512, qpb_pad)) * min(512, qpb_pad)
-            prog_key = (n_buckets, k_eff, qpb_pad, data_chunk, max_chunks,
-                        scfg.compute_dtype, scfg.probe_mass)
-            program = self._sharded_programs.get(prog_key)
-            if program is None:
-                program = make_sharded_search_program(
-                    built.classifier.model, mesh,
-                    k=k_eff, n_buckets=n_buckets, qpb_pad=qpb_pad,
-                    data_chunk=data_chunk, max_chunks=max_chunks,
-                    cat_pad=sstore.cat_pad, rows=sstore.rows,
-                    pad_rows=sstore.pad_rows,
-                    quantized=sstore.scales is not None,
-                    compute_dtype=(jnp.dtype(scfg.compute_dtype)
-                                   if scfg.compute_dtype else None),
-                    probe_mass=scfg.probe_mass,
-                    quant_bits=sstore.quant_bits,
-                )
-                self._sharded_programs[prog_key] = program
-            args = [built.classifier.params, queries_nav, queries_search,
-                    sstore.data_sorted, sstore.ids_sorted, sstore.offsets,
-                    sstore.counts, sstore.bucket_start]
-            if sstore.scales is not None:
-                args.append(sstore.scales)
-            dists, ids, max_slots = program(*args)
-            if rerank:  # quantized device dists are recomputed on host
-                ids, max_slots = jax.device_get((ids, max_slots))
-            else:
-                dists, ids, max_slots = jax.device_get(
-                    (dists, ids, max_slots))
-            if int(max_slots) <= qpb_pad:
-                self._qpb_pads[("sharded", q, n_buckets)] = qpb_pad
-                break
-            qpb_pad = size_class(int(max_slots))
-        if rerank:
-            dists, ids = self._rerank_host(
-                None, np.asarray(ids), queries_search, k,
-                host_queries=host_queries, rerank_dtype=scfg.rerank_dtype,
+        return SimpleNamespace(
+            q=q, backend=backend, rerank=rerank, k_eff=k_eff,
+            compute_dtype=(jnp.dtype(scfg.compute_dtype)
+                           if scfg.compute_dtype else None),
+            data_chunk=data_chunk, max_chunks=max_chunks, qpb_pad=qpb_pad,
+            wl_pad=0, want_stats=False,
+            pallas_max_chunks=max(-(-built.max_bucket // scfg.pallas_mc), 1),
+        )
+
+    def _dispatch_sharded(self, plan, n_buckets: int, scfg: SearchConfig):
+        """Build (or fetch) the jitted multi-chip program for the plan's
+        static configuration; rounds qpb_pad to query-chunk granularity."""
+        from tpulmi.parallel.sharded import make_sharded_search_program
+
+        built = self.built
+        sstore, mesh = self._sharded
+        # the probe pipeline reshapes (n_qchunks, qc) -> qpb_pad rows, so
+        # the pad must be a whole number of query chunks (512 inside the
+        # sharded program) — same rounding as the flat path
+        plan.qpb_pad = (-(-plan.qpb_pad // min(512, plan.qpb_pad))
+                        * min(512, plan.qpb_pad))
+        prog_key = (plan.backend, n_buckets, plan.k_eff, plan.qpb_pad,
+                    plan.data_chunk, plan.max_chunks,
+                    scfg.compute_dtype, scfg.probe_mass, scfg.int8_queries,
+                    scfg.pallas_extract, scfg.pallas_qc, scfg.pallas_mc)
+        program = self._sharded_programs.get(prog_key)
+        if program is None:
+            program = make_sharded_search_program(
+                built.classifier.model, mesh,
+                k=plan.k_eff, n_buckets=n_buckets, qpb_pad=plan.qpb_pad,
+                data_chunk=plan.data_chunk, max_chunks=plan.max_chunks,
+                cat_pad=sstore.cat_pad, rows=sstore.rows,
+                pad_rows=sstore.pad_rows,
+                quantized=sstore.scales is not None,
+                compute_dtype=plan.compute_dtype,
+                probe_mass=scfg.probe_mass,
+                quant_bits=sstore.quant_bits,
+                backend=plan.backend,
+                row_align=sstore.row_align,
+                pallas_qc=scfg.pallas_qc,
+                pallas_mc=scfg.pallas_mc,
+                pallas_max_chunks=plan.pallas_max_chunks,
+                pallas_int8_queries=scfg.int8_queries,
+                pallas_extract=scfg.pallas_extract,
             )
-        ids = np.where(ids < 0, 0, ids)
-        return np.asarray(dists), np.asarray(ids).astype(np.int64) + 1
+            self._sharded_programs[prog_key] = program
+        return program
+
+    def _sharded_args(self, queries_nav, queries_search):
+        sstore, _ = self._sharded
+        args = [self.built.classifier.params, queries_nav, queries_search,
+                sstore.data_sorted, sstore.ids_sorted, sstore.offsets,
+                sstore.counts, sstore.bucket_start]
+        if sstore.scales is not None:
+            args.append(sstore.scales)
+        return args
+
+    def _absorb_sharded(self, plan, n_buckets: int, got):
+        """Unpack one fetched multi-chip result against the plan; "retry"
+        grows the overflowed qpb_pad (the Pallas kernel block-pads its
+        layout internally, so overflow cannot occur there)."""
+        dists, ids, max_slots = got
+        if plan.backend == "pallas" or int(max_slots) <= plan.qpb_pad:
+            self._qpb_pads[("sharded", plan.q, n_buckets)] = plan.qpb_pad
+            return dists, ids
+        plan.qpb_pad = size_class(int(max_slots))
+        return "retry"
+
+    def _search_sharded(self, queries_nav, queries_search, n_buckets: int,
+                        k: int, scfg,
+                        host_queries=None) -> Tuple[np.ndarray, np.ndarray]:
+        plan = self._plan_sharded(queries_nav, n_buckets, k, scfg)
+        while True:
+            program = self._dispatch_sharded(plan, n_buckets, scfg)
+            out = program(*self._sharded_args(queries_nav, queries_search))
+            status = self._absorb_sharded(
+                plan, n_buckets, self._fetch_result(out, plan))
+            if status != "retry":
+                dists, ids = status
+                break
+        return self._finalize(dists, ids, plan, k, scfg, queries_search,
+                              host_queries)
 
     # ----------------------------------------------------------------- search
     def search(
@@ -1122,8 +1178,9 @@ class LearnedIndex:
         `search` to validate padding classes; later batches dispatch ahead
         and fall back to a synchronous `search` only on a (rare) pad
         overflow. Scan counters (`last_scan_rows`) are not maintained
-        across in-flight batches. Sharded indexes (`shard`) currently
-        degrade to sequential per-batch `search` calls."""
+        across in-flight batches. Sharded indexes (`shard`) pipeline the
+        same way through the multi-chip program (plan → dispatch → absorb
+        mirror the flat path's)."""
         if self.built is None:
             raise ValueError("Index is not built, call `build` first.")
         scfg = search_config or SearchConfig(k=k, n_buckets=n_buckets)
@@ -1145,8 +1202,9 @@ class LearnedIndex:
                     jnp.asarray(qs, jnp.float32), qh)
 
         def sync_one():
-            qn, qs, qh, out, plan = pending.popleft()
-            status = self._absorb_result(plan, nb, self._fetch_result(out, plan))
+            qn, qs, qh, out, plan, sharded = pending.popleft()
+            absorb = self._absorb_sharded if sharded else self._absorb_result
+            status = absorb(plan, nb, self._fetch_result(out, plan))
             if status == "retry":
                 # pad overflow: the plan (and its cache) already grew;
                 # redo just this batch synchronously
@@ -1159,22 +1217,28 @@ class LearnedIndex:
         for batch in batches:
             qn, qs, qh = unpack(batch)
             q = int(qn.shape[0])
-            if (self._sharded is not None
-                    or (scfg.batch_queries and q > scfg.batch_queries)
-                    or (q, nb) not in self._qpb_pads):
+            sharded = self._sharded is not None
+            pad_key = ("sharded", q, nb) if sharded else (q, nb)
+            if ((scfg.batch_queries and q > scfg.batch_queries)
+                    or pad_key not in self._qpb_pads):
                 # drain in-flight work so results stay ordered, then take
                 # the synchronous path (validates pads / compiles programs
-                # for a first-seen shape; handles sharded + oversized)
+                # for a first-seen shape; handles oversized batches)
                 while pending:
                     yield sync_one()
                 yield self.search(qn, qs, n_buckets=nb, k=k,
                                   search_config=scfg,
                                   queries_search_host=qh)
                 continue
-            plan = self._plan_search(qn, nb, k, scfg)
-            program = self._dispatch_program(plan, nb, scfg)
-            out = program(built.classifier.params, qn, qs, built.store)
-            pending.append((qn, qs, qh, out, plan))
+            if sharded:
+                plan = self._plan_sharded(qn, nb, k, scfg)
+                program = self._dispatch_sharded(plan, nb, scfg)
+                out = program(*self._sharded_args(qn, qs))
+            else:
+                plan = self._plan_search(qn, nb, k, scfg)
+                program = self._dispatch_program(plan, nb, scfg)
+                out = program(built.classifier.params, qn, qs, built.store)
+            pending.append((qn, qs, qh, out, plan, sharded))
             if len(pending) >= depth:
                 yield sync_one()
         while pending:

@@ -398,6 +398,13 @@ def make_sharded_search_program(
     compute_dtype=None,
     probe_mass=None,
     quant_bits: int = 8,
+    backend: str = "xla",
+    row_align: int = 1,
+    pallas_qc: int = 256,
+    pallas_mc: int = 512,
+    pallas_max_chunks: int = 1,
+    pallas_int8_queries: bool = False,
+    pallas_extract: str = "scalar",
 ):
     """ONE jitted multi-chip search program: replicated MLP routing +
     bucket-sharded probe search + all-gather top-k merge. The multi-chip
@@ -408,10 +415,22 @@ def make_sharded_search_program(
     each query's probes at the routed-mass crossing (`route_probes`); dump
     ids are -1, which falls outside every shard's local range — including a
     ragged last shard's — and is dropped by the same remap that drops
-    non-local probes."""
+    non-local probes.
+
+    ``backend="pallas"`` runs the fused Pallas probe kernel on each shard's
+    local store (dense grid) instead of the XLA chunk pipeline — measured
+    3.3x faster single-chip at 300K (NOTES.md), and the per-shard store
+    inherits the flat store's ``row_align`` so the kernel's block-DMA
+    alignment precondition holds per shard. Dumped/non-local probes remap
+    to local id ``cat_pad`` == the local store's n_categories — exactly the
+    single-chip kernel's dump-bucket semantics (discard row, sentinel
+    output). The kernel's per-query-block bucket layout is computed per
+    shard inside shard_map, so each chip sizes its own blocks from the
+    probes it actually owns."""
     from tpulmi.ops.distance import l2_normalize
 
     axis = mesh.axis_names[0]
+    interpret = jax.default_backend() == "cpu"  # Mosaic has no CPU target
 
     def local_search(params, queries_nav, queries_search,
                      data_s, ids_s, offs, cnts, start, *scales_s):
@@ -429,14 +448,27 @@ def make_sharded_search_program(
         local_store = BucketStore(
             data_sorted=data_s[0], ids_sorted=ids_s[0],
             offsets=offs[0], counts=cnts[0], n=rows, pad_rows=pad_rows,
+            row_align=row_align,
             scales=scales_s[0][0] if quantized else None,
             quant_bits=quant_bits,
         )
-        part_d, part_i, max_slots = _probe_search_impl(
-            local, qs, local_store, k=k, qpb_pad=qpb_pad,
-            data_chunk=data_chunk, max_chunks=max_chunks,
-            compute_dtype=compute_dtype,
-        )
+        if backend == "pallas":
+            from tpulmi.ops.pallas_topk import pallas_probe_search
+
+            part_d, part_i, max_slots = pallas_probe_search(
+                local, qs, local_store, k=k,
+                qc=pallas_qc, mc=pallas_mc, max_chunks=pallas_max_chunks,
+                compute_dtype=compute_dtype or jnp.float32,
+                int8_queries=pallas_int8_queries,
+                extract_mode=pallas_extract,
+                interpret=interpret,
+            )
+        else:
+            part_d, part_i, max_slots = _probe_search_impl(
+                local, qs, local_store, k=k, qpb_pad=qpb_pad,
+                data_chunk=data_chunk, max_chunks=max_chunks,
+                compute_dtype=compute_dtype,
+            )
         all_d = jax.lax.all_gather(part_d, axis)  # (S, Q, k)
         all_i = jax.lax.all_gather(part_i, axis)
         s, q, _ = all_d.shape
