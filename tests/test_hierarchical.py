@@ -102,6 +102,20 @@ def test_hierarchical_save_load(built_hier, synthetic_small, tmp_path):
     )
     np.testing.assert_allclose(d1, d2, atol=1e-5)
     np.testing.assert_array_equal(i1, i2)
+    # the full hierarchy config round-trips — calibrate_budget included
+    # (it silently reverted to the default on restore before); use a
+    # non-default value so the assertion can actually fail
+    import dataclasses
+
+    orig_cfg = built_hier.hconfig
+    try:
+        built_hier.hconfig = dataclasses.replace(orig_cfg, calibrate_budget=5)
+        built_hier.save(str(tmp_path / "hier_ckpt2"))
+        r2 = HierarchicalIndex.load(str(tmp_path / "hier_ckpt2"))
+        assert r2.hconfig.calibrate_budget == 5
+        assert r2.hconfig.n_groups == orig_cfg.n_groups
+    finally:
+        built_hier.hconfig = orig_cfg
 
 
 def test_hierarchical_sharded_by_group(built_hier, synthetic_small):

@@ -108,3 +108,35 @@ def test_stream_hierarchical(synthetic_small):
     for (qn, qs), (d_s, i_s) in zip(batches, got):
         d_ref, i_ref = hi.search(qn, qs, n_buckets=4, k=10)
         np.testing.assert_array_equal(i_s, i_ref)
+
+
+def test_stream_overlap_finalize_runs_off_thread(built, synthetic_small):
+    """overlap_finalize moves the host post-process to the worker thread
+    (steady-state batches), and overlap_finalize=False keeps everything on
+    the caller's thread; both must return `search`'s exact results."""
+    import threading
+
+    batches = _batches(synthetic_small, [50, 50, 50, 50])
+    want = [built.search(qn, qs, n_buckets=4, k=10) for qn, qs in batches]
+
+    idents = []
+    orig = built._finalize
+
+    def recording_finalize(*a, **kw):
+        idents.append(threading.get_ident())
+        return orig(*a, **kw)
+
+    built._finalize = recording_finalize
+    try:
+        got = list(built.search_stream(batches, n_buckets=4, k=10, depth=2))
+        assert any(t != threading.get_ident() for t in idents)
+        off = list(built.search_stream(batches, n_buckets=4, k=10, depth=2,
+                                       overlap_finalize=False))
+        assert all(t == threading.get_ident() for t in idents[len(got):])
+    finally:
+        built._finalize = orig
+    for (wd, wi), (gd, gi), (od, oi) in zip(want, got, off):
+        np.testing.assert_array_equal(gi, wi)
+        np.testing.assert_array_equal(oi, wi)
+        np.testing.assert_allclose(gd, wd, rtol=0, atol=0)
+        np.testing.assert_allclose(od, wd, rtol=0, atol=0)

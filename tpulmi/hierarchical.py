@@ -608,6 +608,7 @@ class HierarchicalIndex(LearnedIndex):
                 "outer_lr": hcfg.outer_lr,
                 "outer_model_type": hcfg.outer_model_type,
                 "seed": hcfg.seed,
+                "calibrate_budget": hcfg.calibrate_budget,
                 "outer_weight": float(getattr(
                     self.built.classifier.model, "outer_weight", 1.0)),
                 "mass_temp": float(getattr(

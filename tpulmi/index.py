@@ -1153,6 +1153,7 @@ class LearnedIndex:
         k: int = 10,
         search_config: Optional[SearchConfig] = None,
         depth: int = 2,
+        overlap_finalize: bool = True,
     ):
         """Pipelined serving loop: a generator yielding `search`'s exact
         (dists, 1-based anns) per input batch, in order, with up to
@@ -1180,13 +1181,30 @@ class LearnedIndex:
         overflow. Scan counters (`last_scan_rows`) are not maintained
         across in-flight batches. Sharded indexes (`shard`) pipeline the
         same way through the multi-chip program (plan → dispatch → absorb
-        mirror the flat path's)."""
+        mirror the flat path's).
+
+        ``overlap_finalize`` moves the host post-process — most
+        importantly the exact rerank, a 0.3-0.5 s single-core wall per
+        10k-query batch at 10M+ (BENCH_10M.md) — into a single worker
+        thread, so batch *i*'s rerank (CPU) runs concurrently with batch
+        *i+1*'s device fetch (network wait on the relay, GIL released):
+        the per-batch wall becomes max(fetch, rerank) instead of their
+        sum. Dispatch, fetch, and the (rare) pad-overflow retry stay on
+        the caller's thread; only `_finalize` — pure host numpy/torch on
+        already-fetched arrays — crosses threads, and the single worker
+        preserves result order."""
         if self.built is None:
             raise ValueError("Index is not built, call `build` first.")
         scfg = search_config or SearchConfig(k=k, n_buckets=n_buckets)
         built = self.built
         nb = min(n_buckets, built.store.n_categories)
-        pending = deque()
+        pending = deque()   # dispatched device work, ≤ depth in flight
+        results = deque()   # ordered finalize futures, ≤ 2 in flight
+        executor = None
+        if overlap_finalize:
+            from concurrent.futures import ThreadPoolExecutor
+
+            executor = ThreadPoolExecutor(max_workers=1)
 
         def unpack(batch):
             if len(batch) == 3:
@@ -1202,47 +1220,74 @@ class LearnedIndex:
                     jnp.asarray(qs, jnp.float32), qh)
 
         def sync_one():
+            """Fetch + absorb the oldest in-flight batch; hand its host
+            post-process to the worker. Returns a future."""
             qn, qs, qh, out, plan, sharded = pending.popleft()
             absorb = self._absorb_sharded if sharded else self._absorb_result
             status = absorb(plan, nb, self._fetch_result(out, plan))
             if status == "retry":
                 # pad overflow: the plan (and its cache) already grew;
-                # redo just this batch synchronously
-                return self.search(qn, qs, n_buckets=nb, k=k,
-                                   search_config=scfg,
-                                   queries_search_host=qh)
-            return self._finalize(status[0], status[1], plan, k, scfg,
-                                  qs, qh)
-
-        for batch in batches:
-            qn, qs, qh = unpack(batch)
-            q = int(qn.shape[0])
-            sharded = self._sharded is not None
-            pad_key = ("sharded", q, nb) if sharded else (q, nb)
-            if ((scfg.batch_queries and q > scfg.batch_queries)
-                    or pad_key not in self._qpb_pads):
-                # drain in-flight work so results stay ordered, then take
-                # the synchronous path (validates pads / compiles programs
-                # for a first-seen shape; handles oversized batches)
-                while pending:
-                    yield sync_one()
-                yield self.search(qn, qs, n_buckets=nb, k=k,
+                # redo just this batch synchronously on this thread (a
+                # re-dispatch must not race the main dispatch loop)
+                got = self.search(qn, qs, n_buckets=nb, k=k,
                                   search_config=scfg,
                                   queries_search_host=qh)
-                continue
-            if sharded:
-                plan = self._plan_sharded(qn, nb, k, scfg)
-                program = self._dispatch_sharded(plan, nb, scfg)
-                out = program(*self._sharded_args(qn, qs))
-            else:
-                plan = self._plan_search(qn, nb, k, scfg)
-                program = self._dispatch_program(plan, nb, scfg)
-                out = program(built.classifier.params, qn, qs, built.store)
-            pending.append((qn, qs, qh, out, plan, sharded))
-            if len(pending) >= depth:
-                yield sync_one()
-        while pending:
-            yield sync_one()
+                return _done(got)
+            if executor is not None:
+                return executor.submit(self._finalize, status[0], status[1],
+                                       plan, k, scfg, qs, qh)
+            return _done(self._finalize(status[0], status[1], plan, k, scfg,
+                                        qs, qh))
+
+        def _done(value):
+            from concurrent.futures import Future
+
+            f = Future()
+            f.set_result(value)
+            return f
+
+        try:
+            for batch in batches:
+                qn, qs, qh = unpack(batch)
+                q = int(qn.shape[0])
+                sharded = self._sharded is not None
+                pad_key = ("sharded", q, nb) if sharded else (q, nb)
+                if ((scfg.batch_queries and q > scfg.batch_queries)
+                        or pad_key not in self._qpb_pads):
+                    # drain in-flight work so results stay ordered, then
+                    # take the synchronous path (validates pads / compiles
+                    # programs for a first-seen shape; handles oversized)
+                    while pending:
+                        results.append(sync_one())
+                    while results:
+                        yield results.popleft().result()
+                    yield self.search(qn, qs, n_buckets=nb, k=k,
+                                      search_config=scfg,
+                                      queries_search_host=qh)
+                    continue
+                if sharded:
+                    plan = self._plan_sharded(qn, nb, k, scfg)
+                    program = self._dispatch_sharded(plan, nb, scfg)
+                    out = program(*self._sharded_args(qn, qs))
+                else:
+                    plan = self._plan_search(qn, nb, k, scfg)
+                    program = self._dispatch_program(plan, nb, scfg)
+                    out = program(built.classifier.params, qn, qs,
+                                  built.store)
+                pending.append((qn, qs, qh, out, plan, sharded))
+                if len(pending) >= depth:
+                    results.append(sync_one())
+                # keep one finalize in flight: yielding the OLDER future
+                # lets the newest rerank overlap the next batch's fetch
+                while len(results) > 1:
+                    yield results.popleft().result()
+            while pending:
+                results.append(sync_one())
+            while results:
+                yield results.popleft().result()
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=False)
 
     def _estimate_wl_pad(self, queries_nav, n_buckets: int,
                          scfg: SearchConfig) -> int:

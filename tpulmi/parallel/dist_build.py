@@ -149,6 +149,11 @@ def get_dist_nav_program(model, tx, mesh: Mesh, *, n_local: int, d_nav: int,
         return DistNavResult(c, p, ls, pred.reshape(-1))
 
     _PROGRAMS[key] = (model, tx, program)
+    # bound the cache (FIFO): entries pin their (model, tx) alive, so an
+    # unbounded map would leak every distinct build configuration's params
+    # and compiled program for the process lifetime
+    while len(_PROGRAMS) > 8:
+        _PROGRAMS.pop(next(iter(_PROGRAMS)))
     return program
 
 
