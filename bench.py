@@ -175,7 +175,8 @@ def main():
     # single-call wall above) amortizes away. Every batch's results are
     # fetched to host and post-processed inside the timed window; this is
     # the steady rate a resident service sustains, and the headline metric.
-    STREAM_BATCHES = 8
+    STREAM_BATCHES = 16  # deep enough that startup/drain edges amortize
+    STREAM_DEPTH = 3
 
     def run_stream(fetch_dtype=None, probe_mass=None, worklist=False):
         scfg = SearchConfig(k=K, n_buckets=probes_used,
@@ -186,7 +187,8 @@ def main():
         for _ in range(2):  # second pass is the warm/steady measurement
             start = time.perf_counter()
             for _, s_ids in li.search_stream(
-                    batches, n_buckets=probes_used, k=K, search_config=scfg):
+                    batches, n_buckets=probes_used, k=K, search_config=scfg,
+                    depth=STREAM_DEPTH):
                 pass
             t = time.perf_counter() - start
         return t / STREAM_BATCHES, s_ids
@@ -247,6 +249,37 @@ def main():
     if sustained_qps < qps:
         sustained_qps = qps  # pipeline failed to help; keep single-call
 
+    # ---- device-only probe time (kbench-style): dispatch the compiled
+    # search program back-to-back so the relay round trip amortizes over
+    # the rep count; the per-rep wall is the DEVICE compute of one batch.
+    # This decomposes the sustained wall into device work vs relay/host
+    # residual — on this environment the ~65 ms round trip dominates a
+    # 300K search, and the driver-recorded mfu/hbm fractions were mostly
+    # measuring the relay (BENCH_r03 weak #4).
+    device_probe_s = None
+    try:
+        scfg_dev = SearchConfig(k=K, n_buckets=probes_used,
+                                fetch_dtype=fetch_used,
+                                probe_mass=mass_used,
+                                pallas_worklist=wl_used)
+        plan_dev = li._plan_search(q_nav, probes_used, K, scfg_dev)
+        program_dev = li._dispatch_program(plan_dev, probes_used, scfg_dev)
+        args_dev = (li.built.classifier.params, q_nav, q_search,
+                    li.built.store)
+        out = program_dev(*args_dev)  # warm (compile + pad validation)
+        jax.device_get(out[1][0, :1])
+        reps = 16
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = program_dev(*args_dev)
+        jax.device_get(out[1][0, :1])  # one true barrier at the end
+        device_probe_s = (time.perf_counter() - start) / reps
+        print(f"# device-only probe: {device_probe_s * 1e3:.1f} ms/batch",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # noqa: BLE001 — decomposition is best-effort
+        print(f"# device-only probe failed: {e}", file=sys.stderr,
+              flush=True)
+
     # ---- work model: FLOPs and HBM bytes the probe phase must move, and
     # utilization vs the MEASURED chip ceilings (scripts/calib.py: this
     # environment sustains ~82 bf16 TFLOPS / ~196 GB/s, far below v5e paper
@@ -292,6 +325,7 @@ def main():
         "probe_mass": mass_used,
         "pallas_worklist": wl_used,
         "stream_batches": STREAM_BATCHES,
+        "stream_depth": STREAM_DEPTH,
         "build_s": round(t_build, 2),
         "build_s_cold_incl_compile": round(t_build_cold, 2),
         "build_vs_baseline": round(REF_BUILD_S / t_build, 2),
@@ -309,6 +343,19 @@ def main():
             flops / t_batch / MEASURED_PEAK_FLOPS, 3),
         "hbm_sustained": round(
             bytes_hbm / t_batch / MEASURED_PEAK_BW, 3),
+        # decomposition: device compute of one batch (back-to-back
+        # dispatches, relay amortized) vs the sustained wall — the gap is
+        # relay/host residual that no kernel work can remove
+        "device_probe_s": (round(device_probe_s, 4)
+                           if device_probe_s else None),
+        "mfu_device": (round(
+            flops / device_probe_s / MEASURED_PEAK_FLOPS, 3)
+            if device_probe_s else None),
+        "hbm_device": (round(
+            bytes_hbm / device_probe_s / MEASURED_PEAK_BW, 3)
+            if device_probe_s else None),
+        "relay_residual_s_per_batch": (round(t_batch - device_probe_s, 4)
+                                       if device_probe_s else None),
     }
     print(json.dumps(result))
     sys.stdout.flush()
