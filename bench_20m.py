@@ -176,7 +176,7 @@ def main():
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
     def run_once(probes, bq, rerank_dtype="float32", probe_mass=None,
-                 worklist=False, rerank_extra=RR_BASE):
+                 worklist=False, rerank_extra=RR_BASE, pool=False):
         # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
         # query tiles (exact rerank absorbs the quantization noise);
         # qc=192 reads each bucket's data once at the ~164-slot typical
@@ -189,7 +189,8 @@ def main():
                             rerank_dtype=rerank_dtype,
                             probe_mass=probe_mass,
                             pallas_worklist=worklist,
-                            rerank_extra=rerank_extra)
+                            rerank_extra=rerank_extra,
+                            pallas_pool=pool)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg,
                   queries_search_host=q_host)  # warmup/compile
@@ -315,6 +316,24 @@ def main():
               file=sys.stderr, flush=True)
         if re_ >= RECALL_GATE and te < t_search:
             t_search, recall, rerank_extra_used = te, re_, extra
+    # rerank-pool A/B: the kernel tracks the exact top-k (10) instead of
+    # the full rerank depth (k + rerank_extra, 20-40 lanes) and draws the
+    # extras from its residue-class pool lanes — every extraction merge and
+    # the improver threshold narrow accordingly. Extras are best-effort, so
+    # the same recall gate decides adoption.
+    pool_used = False
+    try:
+        tpool, rpool = run_once(probes_used, batch_q["bq"],
+                                rerank_dtype=rerank_dtype_used,
+                                probe_mass=probe_mass_used,
+                                worklist=worklist_used,
+                                rerank_extra=rerank_extra_used, pool=True)
+        print(f"# pallas_pool: {tpool:.3f}s recall {rpool:.4f}",
+              file=sys.stderr, flush=True)
+        if rpool >= RECALL_GATE and tpool < t_search:
+            t_search, recall, pool_used = tpool, rpool, True
+    except Exception as e:  # noqa: BLE001 — keep the tracked-depth result
+        print(f"# pallas_pool failed: {e}", file=sys.stderr, flush=True)
     qps = N_QUERIES / t_search
 
     # Sustained serving throughput at the winning config: the pipelined
@@ -328,7 +347,8 @@ def main():
             k=K, n_buckets=probes_used, batch_queries=batch_q["bq"],
             pallas_qc=PALLAS_QC, pallas_mc=1024, int8_queries=True,
             rerank_dtype=rerank_dtype_used, probe_mass=probe_mass_used,
-            pallas_worklist=worklist_used, rerank_extra=rerank_extra_used)
+            pallas_worklist=worklist_used, rerank_extra=rerank_extra_used,
+            pallas_pool=pool_used)
         batches = [(q_nav, q_search, q_host)] * STREAM_BATCHES
         s_ids = None
         for _ in range(2):  # second pass is the warm/steady measurement
@@ -402,6 +422,7 @@ def main():
         "rerank_extra": rerank_extra_used,
         "probe_mass": probe_mass_used,
         "pallas_worklist": worklist_used,
+        "pallas_pool": pool_used,
         "ref_search_s_10M": REF_SEARCH_S,
         "ref_build_s_10M": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),

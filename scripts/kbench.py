@@ -266,8 +266,13 @@ def main():
             else:
                 wl_pad = 0
 
+            # KB_KOUT > K A/Bs the rerank pool: exact top-K tracked, the
+            # extras drawn from the residue-class pool lanes — against a
+            # KB_K=KOUT run this isolates the narrow-buffer extraction win
+            kout = int(os.environ.get("KB_KOUT", 0))
+
             def run(qc=qc, mc=mc, int8q=int8q, wl_pad=wl_pad, mode=mode,
-                    sub=sub):
+                    sub=sub, kout=kout):
                 return pallas_probe_search(
                     probes, queries, store, k=K, qc=qc, mc=mc,
                     max_chunks=-(-max_bucket // mc),
@@ -276,6 +281,7 @@ def main():
                     extract_sub=sub,
                     extract_mode=mode,
                     wl_pad=wl_pad,
+                    k_out=kout,
                 )
 
             try:

@@ -362,3 +362,80 @@ def test_worklist_smem_cap(rng, monkeypatch):
     # steady state: second call reuses the disable without re-routing
     d2, i2 = li.search(qn, qs, n_buckets=3, k=5, search_config=scfg)
     np.testing.assert_array_equal(i2, i0)
+
+
+@pytest.mark.parametrize("mode", ["group", "group2"])
+def test_pallas_pool_topk_prefix_exact(rng, mode):
+    """k_out > k: rows [0, k) must still be the EXACT top-k (bit-equal to
+    the XLA pipeline); rows [k, k_out) are best-effort pool candidates —
+    ascending, and every live id must map back to its claimed distance."""
+    data, queries, labels, store = _setup(rng)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:3] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    mc = 256
+    d_p, i_p, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store,
+        k=5, k_out=16, qc=128, mc=mc, max_chunks=-(-max_bucket // mc),
+        compute_dtype=jnp.float32, extract_mode=mode, interpret=True,
+    )
+    d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+    assert d_p.shape == (queries.shape[0], 16)
+    d_x, i_x = probe_search(probes, queries, store, k=5, data_chunk=mc)
+    np.testing.assert_allclose(d_p[:, :5], np.asarray(d_x), atol=1e-5)
+    assert (i_p[:, :5] == np.asarray(i_x)).mean() > 0.99
+    assert np.all(np.diff(d_p, axis=1) >= -1e-6)
+    live = i_p >= 0
+    assert live[:, :5].all()
+    chosen = 1.0 - np.einsum(
+        "qkd,qd->qk", data[np.maximum(i_p, 0)], queries)
+    np.testing.assert_allclose(np.where(live, chosen, 0.0),
+                               np.where(live, d_p, 0.0), atol=1e-5)
+
+
+def test_pallas_pool_requires_harvest_mode(rng):
+    data, queries, labels, store = _setup(rng, n=500, c=4, q=8)
+    probes = np.zeros((8, 1), np.int32)
+    with pytest.raises(ValueError, match="rerank pool"):
+        pallas_probe_search(
+            jnp.asarray(probes), jnp.asarray(queries), store,
+            k=5, k_out=16, qc=128, mc=256, max_chunks=1,
+            compute_dtype=jnp.float32, extract_mode="scalar",
+            interpret=True,
+        )
+
+
+def test_index_pallas_pool_rerank(rng):
+    """SearchConfig.pallas_pool end-to-end: quantized store, kernel tracks
+    the exact top-k while the rerank extras come from the pool lanes. The
+    output must be duplicate-free per row (the host dedupe) and the exact
+    rerank must keep recall at the non-pool level."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.ops.distance import exact_knn
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    n, d = 6000, 128
+    data_nav = rng.normal(size=(n, 24)).astype(np.float32)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    li = LearnedIndex(IndexConfig(
+        n_categories=12, epochs=4, lr=0.003, batch_size=512,
+        row_align=1024,
+    ))
+    li.build(data_nav, data)
+    li.quantize(host_corpus=data, normalized=True)
+    qn, qs = data_nav[:32], data[:32]
+    scfg = SearchConfig(k=10, backend="pallas", compute_dtype=None,
+                        pallas_qc=128, pallas_mc=1024,
+                        pallas_pool=True, rerank_extra=10)
+    d_p, i_p = li.search(qn, qs, n_buckets=12, k=10, search_config=scfg)
+    # no duplicate ids per row
+    assert all(len(set(row.tolist())) == 10 for row in i_p)
+    want_d, want_i = exact_knn(qs, data, k=10, normalized=True)
+    recall = np.mean([
+        len(set(i_p[i]) & set(np.asarray(want_i)[i] + 1)) / 10
+        for i in range(32)
+    ])
+    assert recall >= 0.98

@@ -554,6 +554,20 @@ class LearnedIndex:
         corpus, normalized = self._host_corpus
         q, k_eff = ids.shape
         d = int(np.asarray(corpus[:1]).shape[1])
+        # the kernel's rerank pool (SearchConfig.pallas_pool) may hand the
+        # same row twice per query (a candidate can sit in both the exact
+        # top-k and its residue-class pool lane): mark repeats empty so the
+        # exact reorder can never return one row twice. Vectorized per-row
+        # dedupe; a no-op for the exact (duplicate-free) paths.
+        sort_idx = np.argsort(ids, axis=1, kind="stable")
+        sorted_ids = np.take_along_axis(ids, sort_idx, axis=1)
+        dup_sorted = np.zeros(ids.shape, dtype=bool)
+        dup_sorted[:, 1:] = ((sorted_ids[:, 1:] == sorted_ids[:, :-1])
+                             & (sorted_ids[:, 1:] >= 0))
+        if dup_sorted.any():
+            dup = np.zeros(ids.shape, dtype=bool)
+            np.put_along_axis(dup, sort_idx, dup_sorted, axis=1)
+            ids = np.where(dup, -1, ids)
         if host_queries is not None:
             qs = np.array(host_queries, np.float32)  # writable copy
         else:
@@ -1037,12 +1051,21 @@ class LearnedIndex:
         else:
             prune_eps = 1e-4
 
+        # rerank pool: kernel tracks exact top-k, pool lanes supply the
+        # rerank extras (group-harvest modes only — scalar never
+        # materializes the per-class minima)
+        pallas_pool_k = (k if (scfg.pallas_pool and backend == "pallas"
+                               and rerank and k_eff > k
+                               and scfg.pallas_extract in ("group", "group2"))
+                         else 0)
+
         return SimpleNamespace(
             q=q, backend=backend, rerank=rerank, k_eff=k_eff,
             compute_dtype=compute_dtype, data_chunk=data_chunk,
             max_chunks=max_chunks, qpb_pad=qpb_pad, wl_pad=wl_pad,
             pruning=pruning, prune_eps=prune_eps, want_stats=want_stats,
             pallas_max_chunks=max(-(-built.max_bucket // scfg.pallas_mc), 1),
+            pallas_pool_k=pallas_pool_k,
         )
 
     def _dispatch_program(self, plan, n_buckets: int, scfg: SearchConfig):
@@ -1058,7 +1081,7 @@ class LearnedIndex:
                     (scfg.prune_after, plan.prune_eps) if plan.pruning
                     else None,
                     scfg.probe_mass, scfg.int8_queries, scfg.pallas_extract,
-                    plan.wl_pad, scfg.fetch_dtype)
+                    plan.wl_pad, scfg.fetch_dtype, plan.pallas_pool_k)
         program = self._search_programs.get(prog_key)
         if program is None:
             program = make_search_program(
@@ -1077,6 +1100,7 @@ class LearnedIndex:
                 pallas_int8_queries=scfg.int8_queries,
                 pallas_extract=scfg.pallas_extract,
                 pallas_wl_pad=plan.wl_pad,
+                pallas_pool_k=plan.pallas_pool_k,
                 prune_after=scfg.prune_after if plan.pruning else 0,
                 prune_eps=plan.prune_eps,
                 probe_mass=scfg.probe_mass,

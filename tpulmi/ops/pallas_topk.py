@@ -68,7 +68,7 @@ _DSTART, _NDB, _QLIM, _DLIM = range(4)
 def _kernel(s_ref, q_ref, d_ref, *rest,
             k: int, qc: int, mc: int, quantized: bool = False,
             int8q: bool = False, sub: int = 64, mode: str = "scalar",
-            packed: bool = False):
+            packed: bool = False, pool: bool = False):
     # dense 2-D grid: (query block, chunk); bucket-size skew costs empty
     # grid steps (compute gated off, DMA elided by the clamped index map)
     j = pl.program_id(0)   # query block
@@ -76,14 +76,14 @@ def _kernel(s_ref, q_ref, d_ref, *rest,
     last_c = pl.num_programs(1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub, mode=mode, packed=packed)
+                 sub=sub, mode=mode, packed=packed, pool=pool)
 
 
 def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
                  k: int, qc: int, mc: int, cmax: int,
                  quantized: bool = False,
                  int8q: bool = False, sub: int = 64, mode: str = "scalar",
-                 packed: bool = False):
+                 packed: bool = False, pool: bool = False):
     # flat worklist grid: one step per LIVE (query block, chunk) pair —
     # bucket-size skew costs nothing. wl_ref (wl_pad,) holds the
     # block-major worklist PACKED one int32 per item (j*cmax + c — SMEM is
@@ -98,12 +98,22 @@ def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
     last_c = jnp.maximum(s_ref[_NDB, j], 1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub, mode=mode, packed=packed)
+                 sub=sub, mode=mode, packed=packed, pool=pool)
 
 
 def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  *, k: int, qc: int, mc: int, quantized: bool,
-                 int8q: bool, sub: int, mode: str, packed: bool = False):
+                 int8q: bool, sub: int, mode: str, packed: bool = False,
+                 pool: bool = False):
+    # ``pool``: the scratch lanes [k, K_LANE) — untouched by the exact
+    # top-k merge below — accumulate each 128-column residue class's
+    # best-ever harvested candidate (one compare + two selects per
+    # harvested chunk, NO serialized extraction). They are a best-effort
+    # overflow pool: the exact rerank draws k_out > k candidates from the
+    # scratch, so the kernel tracks a NARROW exact buffer (tight improver
+    # threshold, ~min(cnt, k) extraction merges) instead of widening k to
+    # the rerank depth (k + rerank_extra, up to 40 at int4 — every merge
+    # pass and the improver count scale with that width).
     if quantized:
         sc_ref, out_d_ref, out_i_ref, best_d, best_i = rest
     else:
@@ -239,9 +249,15 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                         mm = jnp.where(sel, SENT_SIM, mm)
                         return mm, bd_, bi_
 
+                    st_bd = bs0[lo:lo + SUB]
+                    st_bi = best_i[lo:lo + SUB]
+                    if pool:
+                        # sim-space residue-class pool (see _kernel_core)
+                        p_upd = jnp.logical_and(m > st_bd, sub_lane >= k)
+                        st_bd = jnp.where(p_upd, m, st_bd)
+                        st_bi = jnp.where(p_upd, d_blk * mc + cg, st_bi)
                     _, bd, bi = jax.lax.fori_loop(
-                        0, n_small, small,
-                        (m, bs0[lo:lo + SUB], best_i[lo:lo + SUB]))
+                        0, n_small, small, (m, st_bd, st_bi))
                     best_d[lo:lo + SUB] = bd
                     best_i[lo:lo + SUB] = bi
 
@@ -395,9 +411,18 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                         mm = jnp.where(sel, SENTINEL_DIST, mm)
                         return mm, bd_, bi_
 
+                    st_bd = bd0[lo:lo + SUB]
+                    st_bi = best_i[lo:lo + SUB]
+                    if pool:
+                        # residue-class pool: lanes >= k keep the best
+                        # candidate their 128-column class has harvested
+                        # (m is pre-knockout, so extracted winners may
+                        # also land here — the host rerank dedupes)
+                        p_upd = jnp.logical_and(m < st_bd, sub_lane >= k)
+                        st_bd = jnp.where(p_upd, m, st_bd)
+                        st_bi = jnp.where(p_upd, d_blk * mc + cg, st_bi)
                     _, bd, bi = jax.lax.fori_loop(
-                        0, n_small, small,
-                        (m, bd0[lo:lo + SUB], best_i[lo:lo + SUB]))
+                        0, n_small, small, (m, st_bd, st_bi))
                     best_d[lo:lo + SUB] = bd
                     best_i[lo:lo + SUB] = bi
 
@@ -491,15 +516,30 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
     # place the per-tile 1-sims pass of the other modes is actually needed)
     @pl.when(c == last_c)
     def _():
-        out_d_ref[:] = 1.0 - best_d[:] if sim_space else best_d[:]
-        out_i_ref[:] = best_i[:]
+        bd, bi = best_d[:], best_i[:]
+        if pool:
+            # a pool lane can hold a row the exact top-k also extracted
+            # (the pool merges the pre-knockout harvest); a duplicate
+            # surviving to the final top-k_out would displace a true
+            # member from the exact k-prefix. Knock duplicates out once
+            # per block: k lane-compares against the tight lanes.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (qc, K_LANE), 1)
+            dup = jnp.zeros((qc, K_LANE), jnp.bool_)
+            for t in range(k):
+                dup = jnp.logical_or(dup, bi == bi[:, t:t + 1])
+            dup = jnp.logical_and(dup, lane >= k)
+            bd = jnp.where(dup, SENT_SIM if sim_space else SENTINEL_DIST,
+                           bd)
+            bi = jnp.where(dup, -1, bi)
+        out_d_ref[:] = 1.0 - bd if sim_space else bd
+        out_i_ref[:] = bi
 
 
 @partial(
     jax.jit,
     static_argnames=("k", "qc", "mc", "max_chunks", "compute_dtype",
                      "int8_queries", "extract_sub", "extract_mode", "wl_pad",
-                     "interpret"),
+                     "interpret", "k_out"),
 )
 def pallas_probe_search(
     probe_buckets: jnp.ndarray,   # (Q, P) int32
@@ -522,6 +562,12 @@ def pallas_probe_search(
     extract_mode: str = "scalar",  # "scalar" | "group" top-k maintenance
     wl_pad: int = 0,              # flat-worklist grid length (0 = 2-D grid)
     interpret: bool = False,
+    k_out: int = 0,               # candidates returned per query (0 = k);
+                                  # k_out > k draws the extra rows from the
+                                  # kernel's residue-class pool lanes —
+                                  # rows [k, k_out) are BEST-EFFORT rerank
+                                  # candidates, not the exact (k, k_out]
+                                  # order statistics (group/group2 only)
 ) -> Tuple[jnp.ndarray, ...]:
     """Drop-in replacement for tpulmi.search._probe_search_impl backed by the
     fused Pallas kernel. Returns (dists (Q,k), ids (Q,k), max_slots); with
@@ -561,6 +607,15 @@ def pallas_probe_search(
             f"pallas path tracks top-k in a {K_LANE}-lane scratch; k={k} "
             f"exceeds it (use the XLA backend for k > {K_LANE})"
         )
+    ko = k_out if k_out else k
+    pool = ko > k
+    if ko > K_LANE:
+        raise ValueError(f"k_out={ko} exceeds the {K_LANE}-lane scratch")
+    if pool and extract_mode not in ("group", "group2"):
+        raise ValueError(
+            "the rerank pool (k_out > k) needs a harvesting extract_mode "
+            "('group'/'group2') — 'scalar' never materializes the per-class "
+            "minima the pool accumulates")
     # Every bucket offset must be a multiple of the data block, or the
     # block index map floors into the preceding bucket (tail rows silently
     # unscored, foreign rows leaking in). The recorded static row_align is
@@ -732,7 +787,7 @@ def pallas_probe_search(
         )
         kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
                          quantized=quantized, int8q=int8q, sub=extract_sub,
-                         mode=extract_mode, packed=store.packed)
+                         mode=extract_mode, packed=store.packed, pool=pool)
     else:
         def data_block_index(j, c, s):
             return (
@@ -760,7 +815,7 @@ def pallas_probe_search(
         )
         kernel = partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized,
                          int8q=int8q, sub=extract_sub, mode=extract_mode,
-                         packed=store.packed)
+                         packed=store.packed, pool=pool)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -768,8 +823,9 @@ def pallas_probe_search(
         interpret=interpret,
     )(*inputs)
 
-    # ---- per-slot top-k (scratch is unordered), scatter back, merge ranks ----
-    neg_top, arg_top = jax.lax.top_k(-out_d, k)
+    # ---- per-slot top-k_out (scratch is unordered; with the pool, lanes
+    # beyond k hold the best-effort extras), scatter back, merge ranks ----
+    neg_top, arg_top = jax.lax.top_k(-out_d, ko)
     row_d = -neg_top
     row_i = jnp.take_along_axis(out_i, arg_top, axis=1)
     if int8q:
@@ -783,14 +839,14 @@ def pallas_probe_search(
             SENTINEL_DIST,
         )
 
-    slot_d = jnp.full((n_slots + 1, k), SENTINEL_DIST, jnp.float32)
-    slot_i = jnp.full((n_slots + 1, k), -1, jnp.int32)
+    slot_d = jnp.full((n_slots + 1, ko), SENTINEL_DIST, jnp.float32)
+    slot_i = jnp.full((n_slots + 1, ko), -1, jnp.int32)
     slot_d = slot_d.at[slot_order_aligned].set(row_d)
     slot_i = slot_i.at[slot_order_aligned].set(row_i)
-    slot_d = slot_d[:n_slots].reshape(q, p * k)
-    slot_i = slot_i[:n_slots].reshape(q, p * k)
+    slot_d = slot_d[:n_slots].reshape(q, p * ko)
+    slot_i = slot_i[:n_slots].reshape(q, p * ko)
 
-    neg_top, arg_top = jax.lax.top_k(-slot_d, k)
+    neg_top, arg_top = jax.lax.top_k(-slot_d, ko)
     final_d = -neg_top
     final_rows = jnp.take_along_axis(slot_i, arg_top, axis=1)
     # store rows -> original dataset ids (one small gather)

@@ -414,6 +414,7 @@ def make_search_program(
     pallas_int8_queries: bool = False,
     pallas_extract: str = "scalar",
     pallas_wl_pad: int = 0,
+    pallas_pool_k: int = 0,
     prune_after: int = 0,
     prune_eps: float = 0.0,
     probe_mass=None,
@@ -484,7 +485,13 @@ def make_search_program(
                 probes,
                 qs,
                 store,
-                k=k,
+                # pallas_pool_k > 0: the kernel maintains an exact
+                # pallas_pool_k-wide buffer and fills rows [pool_k, k)
+                # from its residue-class pool — best-effort rerank
+                # candidates at a fraction of the extraction cost of
+                # tracking the full rerank depth exactly
+                k=pallas_pool_k or k,
+                k_out=k if pallas_pool_k else 0,
                 qc=pallas_qc,
                 mc=pallas_mc,
                 max_chunks=pallas_max_chunks,

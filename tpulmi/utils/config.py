@@ -118,6 +118,17 @@ class SearchConfig:
     # length is sized from the first batch's actual routing and re-run
     # once larger on overflow (same contract as queries_per_bucket_pad).
     pallas_worklist: bool = False
+    # Pallas backend + quantized rerank only: track a NARROW exact top-k
+    # (the user's k) in the kernel and fill the rerank depth's extra
+    # candidates (rerank_extra) from the kernel's residue-class pool —
+    # scratch lanes [k, 128) accumulate each 128-column class's best
+    # harvested candidate for one compare + two selects per chunk, no
+    # serialized extraction. Every extraction merge and the improver
+    # threshold then scale with k instead of k + rerank_extra (up to 40 at
+    # int4 depths). The extras are best-effort, not exact order
+    # statistics; the exact host rerank reorders whatever it gets, so the
+    # effect on recall is A/B'd under the same gate as every other knob.
+    pallas_pool: bool = False
 
     # Quantized (int8) stores only: rerank the final candidates against a
     # host-resident full-precision corpus (when the index has one) to erase
