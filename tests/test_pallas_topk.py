@@ -439,3 +439,29 @@ def test_index_pallas_pool_rerank(rng):
         for i in range(32)
     ])
     assert recall >= 0.98
+
+
+@pytest.mark.parametrize("mode", ["group", "group2"])
+def test_pallas_pool_worklist_matches_dense(rng, mode):
+    """The rerank pool composed with the flat-worklist grid (the round-3
+    bug zone: dumped slots + uninitialized tiles) must be identical to the
+    dense grid, dump ids and skew included."""
+    data, queries, labels, store = _setup(rng)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:4] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    probes[:, 0] = 0
+    drop = rng.random(probes.shape) < 0.4
+    drop[:, 0] = False
+    probes = np.where(drop, c, probes).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    kw = dict(k=5, k_out=16, qc=128, mc=256,
+              max_chunks=-(-max_bucket // 256),
+              compute_dtype=jnp.float32, extract_mode=mode, interpret=True)
+    d2, i2, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, **kw)
+    df, if_, _, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, wl_pad=4096, **kw)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(d2), atol=1e-5)
+    assert (np.asarray(if_) == np.asarray(i2)).mean() > 0.99
