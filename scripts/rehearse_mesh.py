@@ -1,0 +1,151 @@
+"""100M-configuration rehearsal on the virtual 8-device mesh, at 1M rows.
+
+The v5e-8 100M story (docs/SCALING.md §4) rests on two measured rungs —
+20M/40M on one real chip — plus `dryrun_multichip`, which validates the
+multi-chip program shapes at 1024 rows. This script closes the gap between
+"compiles and runs" and "achieves the recall contract" for the SHARDED
+configuration itself: the full 100M topology (hierarchical router, one
+contiguous group-range per device, packed-int4 per-shard host-store upload,
+calibrated outer router, exact host rerank) is built and searched on an
+8-virtual-device CPU mesh at 1M rows — large enough for recall statistics
+to mean something — and gated at the same recall >= 0.90 the real-chip
+benches use.
+
+Mirrors the reference's recall evaluation contract
+(`/root/reference/search/search.py:144-167`) on the multi-chip path the
+reference does not have. Run:
+
+    python scripts/rehearse_mesh.py
+
+(forces JAX_PLATFORMS=cpu + 8 virtual host devices internally; safe to run
+while a real-chip bench owns the TPU tunnel).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # sitecustomize force-selects axon
+
+import numpy as np  # noqa: E402
+
+N = int(os.environ.get("RM_N", 1_000_000))
+N_QUERIES = int(os.environ.get("RM_Q", 1000))
+K = 10
+N_GROUPS = 8              # one group-range per mesh device, as at 100M
+# 120 global buckets ~ the corpus's 122 natural clusters (the real-chip
+# benches keep buckets/clusters ~1:1: 488/488 at 20M/40M). NOTE the probe-
+# independent recall plateau this rehearsal first surfaced (0.853-0.866 at
+# ANY probe budget, flat or hierarchical) was int4 candidate depth, not
+# routing: rerank_extra=10 left true neighbors outside the quantized
+# top-(k+10) cut. SearchConfig.rerank_extra=None now resolves to 30 on
+# int4 stores, which this script exercises.
+N_CAT_INNER = int(os.environ.get("RM_INNER", 15))
+SEED = 2023
+CACHE = os.environ.get("RM_CACHE", ".bench_cache")
+RECALL_GATE = 0.90
+
+
+def main():
+    import ml_dtypes
+
+    from tpulmi.baseline import exact_knn_streamed
+    from tpulmi.hierarchical import HierarchicalConfig, HierarchicalIndex
+    from tpulmi.parallel.mesh import make_mesh
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+    from tpulmi.data import synthetic_dataset_big
+
+    assert len(jax.devices()) == 8, jax.devices()
+    t0 = time.perf_counter()
+    ds = synthetic_dataset_big(
+        n=N, n_queries=max(N_QUERIES, 1000), d_nav=96, d_search=768,
+        n_clusters=122, seed=SEED, cache_dir=CACHE,
+    )
+    qn = np.asarray(ds["queries_nav"][:N_QUERIES], np.float32)
+    qs = np.asarray(ds["queries_search"][:N_QUERIES], np.float32)
+    t_gen = time.perf_counter() - t0
+
+    gt_path = os.path.join(CACHE, f"gt_rehearse_n{N}_q{N_QUERIES}.npz")
+    if os.path.exists(gt_path):
+        gt_ids = np.load(gt_path)["ids"]
+    else:
+        _, gt_ids = exact_knn_streamed(qs, ds["data_search"], k=K,
+                                       resume_path=gt_path + ".part")
+        gt_ids = gt_ids + 1  # 1-based, as the facade returns
+        np.savez_compressed(gt_path, ids=gt_ids)
+        if os.path.exists(gt_path + ".part"):
+            os.remove(gt_path + ".part")
+
+    mesh = make_mesh(8, ("buckets",))
+    hi = HierarchicalIndex(HierarchicalConfig(
+        n_groups=N_GROUPS,
+        outer_epochs=6,
+        outer_lr=0.003,
+        calibrate_budget=0,
+        inner=IndexConfig(
+            n_categories=N_CAT_INNER, epochs=8, lr=0.003, model_type="MLP-5",
+            batch_size=4096, seed=SEED, row_align=8,
+        ),
+    ))
+    t_build = time.perf_counter()
+    hi.build_with_host_store(
+        ds["data_nav"].astype(ml_dtypes.bfloat16), ds["data_search"],
+        normalized=True, store_dtype="int4", mesh=mesh,
+    )
+    t_build = time.perf_counter() - t_build
+    calib = hi.calibrate_outer_weight(ds["data_nav"][:], probe_budget=8)
+    print(f"# build {t_build:.0f}s calib {calib}", file=sys.stderr, flush=True)
+
+    import jax.numpy as jnp
+    qn_d = jnp.asarray(qn)
+    qs_d = jnp.asarray(qs)
+    q_host = np.ascontiguousarray(qs, np.float32)
+
+    sweep = []
+    headline = None
+    for probes in (2, 4, 6, 8, 12):
+        scfg = SearchConfig(k=K, n_buckets=probes, backend="xla")
+        t = time.perf_counter()
+        _, ids = hi.search(qn_d, qs_d, n_buckets=probes, k=K,
+                           search_config=scfg, queries_search_host=q_host)
+        t = time.perf_counter() - t
+        recall = float(np.mean([
+            len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
+        ]))
+        sweep.append({"probes": probes, "recall_at_10": round(recall, 4)})
+        print(f"# probes={probes}: recall {recall:.4f} ({t:.1f}s cpu)",
+              file=sys.stderr, flush=True)
+        if recall >= RECALL_GATE and headline is None:
+            headline = (probes, recall)
+    ok = headline is not None
+    result = {
+        "metric": "rehearsal_recall_1M_int4_8dev_virtual_mesh",
+        "value": round(headline[1], 4) if ok else sweep[-1]["recall_at_10"],
+        "unit": "recall@10",
+        "n_rows": N,
+        "n_queries": N_QUERIES,
+        "probes": headline[0] if ok else None,
+        "n_global_buckets": N_GROUPS * N_CAT_INNER,
+        "store": "int4+rerank, one group-range per device",
+        "outer_weight": calib["best"],
+        "sweep": sweep,
+        "build_s": round(t_build, 1),
+        "datagen_s": round(t_gen, 1),
+        "ok": ok,
+    }
+    print(json.dumps(result))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

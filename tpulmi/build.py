@@ -104,6 +104,7 @@ def make_build_program(
     normalize_search: bool = True,
     include_store: bool = True,
     max_train_steps=None,
+    train_sample_cap: int = 8_388_608,
 ):
     """Build the fused program for fixed shapes. Returns a jitted function
     (data_nav, data_search, key) -> BuildResult.
@@ -111,16 +112,30 @@ def make_build_program(
     ``include_store=False`` runs only the navigation stages (k-means,
     training, predict) and returns empty store arrays — used when the
     search-space store exceeds device memory and is laid out on the host
-    instead (see LearnedIndex host_store_build)."""
+    instead (see LearnedIndex host_store_build).
+
+    ``train_sample_cap`` bounds the rows the MLP trains on. Shuffled-batch
+    training gathers rows with `jnp.take`, and a TPU gather relayouts its
+    whole operand into padded (8,128) tiles — a second full-size copy of
+    `data_nav` (9.5 GB at 40M x 96 bf16, measured: the difference between
+    fitting and OOM on a 16 GB chip). Past the cap the program trains on
+    an every-`stride`-th-row subsample taken with a strided `lax.slice`
+    (which, like `dynamic_slice`, reads the argument in place — verified
+    by compile-time memory analysis), so only the ~1.5 GB sample pays the
+    gather relayout. Routing quality is unaffected at these scales: the
+    router's classes see 8M+ examples either way. Corpora at or under the
+    cap train on every row, exactly as before."""
     from tpulmi.models.train import train_plan
 
-    n_train = min(n, kmeans_train_points)
-    epochs, steps_per_epoch, total_steps = train_plan(
-        n, epochs, batch_size, max_train_steps, reference_step_semantics
+    sample_stride = max(1, -(-n // train_sample_cap))
+    train_rows = -(-n // sample_stride)
+    n_train = min(train_rows, kmeans_train_points)
+    epochs, steps_per_epoch, _ = train_plan(
+        train_rows, epochs, batch_size, max_train_steps,
+        reference_step_semantics
     )
-    eff_batch = min(batch_size, n)
+    eff_batch = min(batch_size, train_rows)
     chunk = min(chunk, n)
-    n_chunks = (n + chunk - 1) // chunk
     if row_align > 1:
         n_total_aligned = -(-(n + n_categories * row_align) // row_align) * row_align
         pad_rows_aligned = -(-pad_rows // row_align) * row_align
@@ -144,10 +159,32 @@ def make_build_program(
         # A whole-array f32 cast plus the padded copy below would hold
         # ~3 full-size copies — 19 GB at 20M x 96, past HBM.
 
+        # Training sample (see `train_sample_cap` in the docstring): a
+        # strided row slice reads `data_nav` in place; gathers below then
+        # relayout only this sample, never the full corpus.
+        if sample_stride > 1:
+            nav_train = jax.lax.slice(
+                data_nav, (0, 0), (n, d_nav), (sample_stride, 1))
+        else:
+            nav_train = data_nav
+
         # ---- 1. k-means: Lloyd on a random subsample, then full assign ----
-        perm = jax.random.permutation(kkey, n)
-        train_x = jnp.take(data_nav, perm[:n_train], axis=0).astype(jnp.float32)
-        centroids0 = train_x[:n_categories]  # distinct random points
+        # Stratified jittered sample instead of `permutation(n)[:n_train]`:
+        # a full-corpus permutation materializes n sort keys + values twice
+        # (~2.6 GB of HLO temps at 40M) only to keep the first ~250k —
+        # one uniform draw per stride-sized stratum is distinct, covers the
+        # corpus evenly, and costs O(n_train) memory.
+        if n_train < train_rows:
+            stride = train_rows // n_train
+            train_idx = jnp.arange(n_train, dtype=jnp.int32) * stride + (
+                jax.random.randint(kkey, (n_train,), 0, stride, jnp.int32))
+        else:
+            train_idx = jnp.arange(n_train, dtype=jnp.int32)
+        train_x = jnp.take(nav_train, train_idx, axis=0).astype(jnp.float32)
+        # centroid init: every (n_train//k)-th sample point — distinct and
+        # stratified across the corpus even if rows are cluster-ordered
+        init_stride = max(1, n_train // n_categories)
+        centroids0 = train_x[::init_stride][:n_categories]
 
         def lloyd_step(c, _):
             d = _sq_dists(train_x, c)
@@ -161,48 +198,74 @@ def make_build_program(
 
         centroids, _ = jax.lax.scan(lloyd_step, centroids0, None, length=kmeans_iters)
 
-        nav_pad = jnp.pad(data_nav, ((0, n_chunks * chunk - n), (0, 0)))
+        # Chunked row maps slice their operand IN PLACE: padding the whole
+        # array (`jnp.pad`) would hold a second full-size copy for the
+        # program's lifetime — 7.4 GB at 40M x 96 bf16, the difference
+        # between fitting and OOM. Full chunks use dynamic_slice; the
+        # sub-chunk tail is its own small padded block outside the scan.
+        def _chunked_rowmap(arr, m, row_fn):
+            """row_fn: (chunk, d_nav) f32 -> (chunk,) i32, applied over all
+            m rows of arr in `chunk`-sized blocks; returns (m,) i32."""
+            m_full = (m // chunk) * chunk
+            parts = []
+            if m_full:
+                def body(_, i):
+                    block = jax.lax.dynamic_slice(
+                        arr, (i * chunk, 0), (chunk, d_nav)
+                    ).astype(jnp.float32)
+                    return None, row_fn(block)
 
-        def assign_body(_, i):
-            block = jax.lax.dynamic_slice(
-                nav_pad, (i * chunk, 0), (chunk, d_nav)
-            ).astype(jnp.float32)
-            return None, jnp.argmin(_sq_dists(block, centroids), axis=1).astype(jnp.int32)
+                _, full = jax.lax.scan(body, None,
+                                       jnp.arange(m_full // chunk))
+                parts.append(full.reshape(-1))
+            if m > m_full:
+                tail = jnp.pad(
+                    arr[m_full:], ((0, chunk - (m - m_full)), (0, 0))
+                ).astype(jnp.float32)
+                parts.append(row_fn(tail)[: m - m_full])
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
-        _, labels = jax.lax.scan(assign_body, None, jnp.arange(n_chunks))
-        labels = labels.reshape(-1)[:n]
+        # k-means targets are only needed for the rows the MLP trains on
+        labels = _chunked_rowmap(
+            nav_train, train_rows,
+            lambda b: jnp.argmin(_sq_dists(b, centroids), axis=1)
+            .astype(jnp.int32))
 
         # ---- 2. MLP init + training (single flat scan) ----
         params = model.init(ikey, jnp.zeros((1, d_nav), jnp.float32))["params"]
         opt_state = tx.init(params)
         ekeys = jax.random.split(tkey, epochs)
-        perms = jax.vmap(
-            lambda k: jax.random.permutation(k, n)[: steps_per_epoch * eff_batch]
-        )(ekeys)
-        idx = perms.reshape(total_steps, eff_batch)
 
         def train_step(carry, batch_idx):
             params, opt_state = carry
-            xb = jnp.take(data_nav, batch_idx, axis=0).astype(jnp.float32)
+            xb = jnp.take(nav_train, batch_idx, axis=0).astype(jnp.float32)
             yb = jnp.take(labels, batch_idx, axis=0)
             loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb)
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
-        (params, _), step_losses = jax.lax.scan(train_step, (params, opt_state), idx)
-        losses = step_losses.reshape(epochs, steps_per_epoch).mean(axis=1)
+        # One epoch's shuffled batch indices in flight at a time: vmapping
+        # `permutation` over all epochs up front holds epochs x n sort
+        # keys/values simultaneously (~5 GB of HLO temps at 40M x 8 epochs).
+        # Same keys, same permutations, same losses — only the buffer
+        # lifetime changes.
+        def epoch_body(carry, ekey):
+            idx_e = jax.random.permutation(ekey, train_rows)[
+                : steps_per_epoch * eff_batch
+            ].reshape(steps_per_epoch, eff_batch)
+            carry, step_losses = jax.lax.scan(train_step, carry, idx_e)
+            return carry, step_losses.mean()
+
+        (params, _), losses = jax.lax.scan(
+            epoch_body, (params, opt_state), ekeys)
 
         # ---- 3. full-data argmax predict (bucket assignment = the model's
         # own partition, matching the reference `search/li/LearnedIndex.py:67,240`) ----
-        def predict_body(_, i):
-            block = jax.lax.dynamic_slice(
-                nav_pad, (i * chunk, 0), (chunk, d_nav)
-            ).astype(jnp.float32)
-            logits = model.apply({"params": params}, block)
-            return None, jnp.argmax(logits, axis=1).astype(jnp.int32)
-
-        _, pred = jax.lax.scan(predict_body, None, jnp.arange(n_chunks))
-        pred = pred.reshape(-1)[:n]
+        pred = _chunked_rowmap(
+            data_nav, n,
+            lambda b: jnp.argmax(
+                model.apply({"params": params}, b), axis=1
+            ).astype(jnp.int32))
 
         if not include_store:
             counts = jax.ops.segment_sum(

@@ -148,19 +148,32 @@ class JointRouterClassifier:
         weight that was live at first call even after
         `set_outer_weight`/calibration changes it."""
         n, d = X.shape
-        n_chunks = (n + chunk - 1) // chunk
-        X_pad = jnp.pad(X, ((0, n_chunks * chunk - n), (0, 0)))
 
-        def body(_, i):
-            block = jax.lax.dynamic_slice(X_pad, (i * chunk, 0), (chunk, d))
+        def block_pred(block):
             lo, li = self.model.components(
                 {"params": params}, block.astype(jnp.float32)
             )
             joint = (w * lo[:, :, None] + li).reshape(block.shape[0], -1)
-            return None, jnp.argmax(joint, axis=1).astype(jnp.int32)
+            return jnp.argmax(joint, axis=1).astype(jnp.int32)
 
-        _, out = jax.lax.scan(body, None, jnp.arange(n_chunks))
-        return out.reshape(-1)[:n]
+        # Full chunks slice X in place; the sub-chunk tail is its own small
+        # padded block. Padding ALL of X (`jnp.pad`) held a second full-size
+        # corpus copy for the program's lifetime — 7.4 GB at 40M x 96 bf16,
+        # an OOM next to the resident nav (same fix as tpulmi/build.py's
+        # _chunked_rowmap).
+        n_full = (n // chunk) * chunk
+        parts = []
+        if n_full:
+            def body(_, i):
+                block = jax.lax.dynamic_slice(X, (i * chunk, 0), (chunk, d))
+                return None, block_pred(block)
+
+            _, out = jax.lax.scan(body, None, jnp.arange(n_full // chunk))
+            parts.append(out.reshape(-1))
+        if n > n_full:
+            tail = jnp.pad(X[n_full:], ((0, chunk - (n - n_full)), (0, 0)))
+            parts.append(block_pred(tail)[: n - n_full])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     def predict(self, X, chunk: int = 131072) -> jnp.ndarray:
         """Joint-argmax global bucket per row, one dispatch for any corpus
@@ -233,8 +246,22 @@ class HierarchicalIndex(LearnedIndex):
         # real rows). ----
         rng = np.random.default_rng(hcfg.seed + 17)
         inner_params = []
+        # Device row-gathers (`jnp.take`) relayout their whole operand into
+        # padded (8,128) tiles — a second full-size nav copy next to the
+        # resident corpus (9.5 GB at 40M x 96 bf16: OOM, measured by
+        # compile-time memory analysis). Past the gather-safe size each
+        # group's training rows are sampled and gathered on the HOST and
+        # uploaded (~0.2 GB/group; the async device_put pipelines with the
+        # previous group's build program). The inner programs only produce
+        # PARAMS — the global bucket assignment below is its own chunked
+        # pass over all rows — so capping the sample costs nothing but SGD
+        # examples (>=1M rows for 61 buckets, ~16k/bucket).
+        gather_safe = n <= 8_388_608
+        inner_cap = 1_048_576
         for g in range(G):
             idx = np.where(groups == g)[0]
+            if not gather_safe and idx.size > inner_cap:
+                idx = np.sort(rng.choice(idx, size=inner_cap, replace=False))
             m_pad = size_class(max(idx.size, cfg.batch_size))
             n_fill = m_pad - idx.size
             if idx.size:
@@ -243,9 +270,12 @@ class HierarchicalIndex(LearnedIndex):
                 )
             else:
                 idx_pad = np.zeros((m_pad,), np.int64)
-            nav_g = jnp.take(
-                nav_dev, jnp.asarray(idx_pad, jnp.int32), axis=0
-            )
+            if gather_safe:
+                nav_g = jnp.take(
+                    nav_dev, jnp.asarray(idx_pad, jnp.int32), axis=0
+                )
+            else:
+                nav_g = jax.device_put(jnp.asarray(data_nav_host[idx_pad]))
             prog = get_build_program(
                 model_type=cfg.model_type, lr=cfg.lr, n=m_pad, d_nav=d_nav,
                 n_categories=C, kmeans_iters=cfg.kmeans_iters,

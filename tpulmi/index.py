@@ -534,6 +534,16 @@ class LearnedIndex:
         if host_corpus is not None:
             self._host_corpus = (host_corpus, normalized)
 
+    def _resolve_rerank_extra(self, scfg) -> int:
+        """Dtype-aware rerank depth: `SearchConfig.rerank_extra=None`
+        resolves to 30 for packed int4 stores (whose ~4e-3 cosine noise
+        otherwise drops true neighbors from the candidate cut — see the
+        config field's measurements), 10 for int8/bf16."""
+        if scfg.rerank_extra is not None:
+            return scfg.rerank_extra
+        store = self.built.store if self.built is not None else None
+        return 30 if getattr(store, "quant_bits", 8) == 4 else 10
+
     def _rerank_host(self, dists, ids, queries_search, k: int,
                      host_queries=None, rerank_dtype: str = "float32"):
         # `dists` is intentionally unused (and may be None): every kept
@@ -780,7 +790,7 @@ class LearnedIndex:
         sstore, _ = self._sharded
         rerank = (scfg.rerank and built.store.is_quantized
                   and self._host_corpus is not None)
-        k_eff = k + scfg.rerank_extra if rerank else k
+        k_eff = k + self._resolve_rerank_extra(scfg) if rerank else k
         q = int(queries_nav.shape[0])
         n_slots = q * n_buckets
         data_chunk = min(scfg.data_chunk,
@@ -987,7 +997,7 @@ class LearnedIndex:
         # candidates and rerank them at full precision on the host
         rerank = (scfg.rerank and built.store.is_quantized
                   and self._host_corpus is not None)
-        k_eff = k + scfg.rerank_extra if rerank else k
+        k_eff = k + self._resolve_rerank_extra(scfg) if rerank else k
 
         # backend: the fused Pallas kernel needs lane-aligned dims and a
         # block-aligned store; "auto" uses it off-CPU whenever it applies

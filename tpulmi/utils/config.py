@@ -134,9 +134,14 @@ class SearchConfig:
     # host-resident full-precision corpus (when the index has one) to erase
     # the ~1e-3 int8 cosine error. `rerank_extra` extra candidates are
     # fetched per query so the exact reorder can recover neighbors the
-    # quantized scores narrowly misranked.
+    # quantized scores narrowly misranked. None resolves per store dtype at
+    # search time: 30 for packed int4, 10 otherwise — int4's ~4e-3 cosine
+    # noise needs the deeper exact pool (measured at 1M/120 buckets:
+    # recall@10 plateaus at 0.867 across ALL probe budgets with 10 extras,
+    # 0.97 at 30, 0.99 at 60 — the true neighbor must survive the
+    # quantized top-(k+extra) cut before the exact rerank can restore it).
     rerank: bool = True
-    rerank_extra: int = 10
+    rerank_extra: Optional[int] = None
     # "float16" gathers candidates from a cached f16 shadow of the host
     # corpus: half the (single-core) random-gather bytes for ~4e-4 relative
     # distance error — far below the int8 error the rerank erases.
