@@ -202,9 +202,29 @@ def main():
         recall = float(np.mean([
             len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
         ]))
+        oom["consecutive"] = 0
         return t, recall
 
-    batch_q = {"bq": N_QUERIES}
+    # B20_BQ starts the ladder below 10k directly: at 40M the full-batch
+    # program compiles 138 MB past the ~760 MB of HBM the int4 store
+    # leaves free (measured), and every failed attempt risks wedging the
+    # remote heap — start where it fits instead of probing downward.
+    batch_q = {"bq": int(os.environ.get("B20_BQ", N_QUERIES))}
+    # consecutive device-OOM circuit breaker: after the 40M run OOM'd one
+    # A/B, every later dispatch failed too (failed executions leak their
+    # staged operands on this backend until even 1 MB allocations die) —
+    # stop attempting optional A/Bs after 2 consecutive OOMs so the
+    # measured results still reach the JSON line.
+    oom = {"consecutive": 0}
+
+    def _note_failure(e):
+        if "RESOURCE_EXHAUSTED" in str(e):
+            oom["consecutive"] += 1
+        else:
+            oom["consecutive"] = 0
+
+    def _backend_suspect():
+        return oom["consecutive"] >= 2
     # smaller batches shrink the per-slot device buffers (probes*bq slots);
     # the n_cat*qc alignment floor stays, so past 1000 there is nothing
     # left to reclaim — below that, the budget is simply too deep for the
@@ -217,8 +237,9 @@ def main():
                 t, r = run_once(probes, batch_q["bq"])
                 break
             except Exception as e:
+                _note_failure(e)
                 smaller = [b for b in BQ_LADDER if b < batch_q["bq"]]
-                if not smaller:
+                if not smaller or _backend_suspect():
                     raise
                 print(f"# bq={batch_q['bq']} failed ({e}); retrying "
                       f"bq={smaller[0]}", file=sys.stderr, flush=True)
@@ -238,6 +259,7 @@ def main():
             t, r = run_at(probes, timed_runs=1)
         except Exception as e:  # deep budgets can exhaust HBM headroom —
             # keep the shallower sweep results instead of dying
+            _note_failure(e)
             print(f"# probes={probes} failed: {e}", file=sys.stderr,
                   flush=True)
             break
@@ -260,6 +282,8 @@ def main():
     # erases) — adopt when it keeps the gate and wins time
     rerank_dtype_used = "float32"
     try:
+        if _backend_suspect():
+            raise RuntimeError("skipped: backend suspect after OOMs")
         t16, r16 = run_once(probes_used, batch_q["bq"],
                             rerank_dtype="float16")
         print(f"# rerank_f16: {t16:.3f}s recall {r16:.4f}", file=sys.stderr,
@@ -267,11 +291,14 @@ def main():
         if r16 >= RECALL_GATE and t16 < t_search:
             t_search, recall, rerank_dtype_used = t16, r16, "float16"
     except Exception as e:  # the 31 GB f16 shadow is a host-RAM gamble
+        _note_failure(e)
         print(f"# rerank_f16 failed: {e}", file=sys.stderr, flush=True)
     # flat-worklist grid A/B: identical results — removes the dense grid's
     # empty steps that the skewed 488-bucket store pays for
     worklist_used = False
     try:
+        if _backend_suspect():
+            raise RuntimeError("skipped: backend suspect after OOMs")
         twl, rwl = run_once(probes_used, batch_q["bq"],
                             rerank_dtype=rerank_dtype_used, worklist=True)
         print(f"# worklist: {twl:.3f}s recall {rwl:.4f}", file=sys.stderr,
@@ -279,16 +306,20 @@ def main():
         if rwl >= RECALL_GATE and twl < t_search:
             t_search, recall, worklist_used = twl, rwl, True
     except Exception as e:  # noqa: BLE001 — keep the dense-grid result
+        _note_failure(e)
         print(f"# worklist failed: {e}", file=sys.stderr, flush=True)
     # true-mass truncation A/B: rank unchanged, confident queries drop
     # their tail probes — adopt when it keeps the gate and wins time
     probe_mass_used = None
     for mass in PROBE_MASS_AB:
+        if _backend_suspect():
+            break
         try:
             tm, rm = run_once(probes_used, batch_q["bq"],
                               rerank_dtype=rerank_dtype_used,
                               probe_mass=mass, worklist=worklist_used)
         except Exception as e:
+            _note_failure(e)
             print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
                   flush=True)
             continue
@@ -303,12 +334,15 @@ def main():
     # shallower depth when it keeps the gate and wins time.
     rerank_extra_used = RR_BASE
     for extra in RR_AB:
+        if _backend_suspect():
+            break
         try:
             te, re_ = run_once(probes_used, batch_q["bq"],
                                rerank_dtype=rerank_dtype_used,
                                probe_mass=probe_mass_used,
                                worklist=worklist_used, rerank_extra=extra)
         except Exception as e:  # noqa: BLE001 — keep the current depth
+            _note_failure(e)
             print(f"# rerank_extra={extra} failed: {e}", file=sys.stderr,
                   flush=True)
             continue
@@ -323,6 +357,8 @@ def main():
     # the same recall gate decides adoption.
     pool_used = False
     try:
+        if _backend_suspect():
+            raise RuntimeError("skipped: backend suspect after OOMs")
         tpool, rpool = run_once(probes_used, batch_q["bq"],
                                 rerank_dtype=rerank_dtype_used,
                                 probe_mass=probe_mass_used,
@@ -333,6 +369,7 @@ def main():
         if rpool >= RECALL_GATE and tpool < t_search:
             t_search, recall, pool_used = tpool, rpool, True
     except Exception as e:  # noqa: BLE001 — keep the tracked-depth result
+        _note_failure(e)
         print(f"# pallas_pool failed: {e}", file=sys.stderr, flush=True)
     qps = N_QUERIES / t_search
 
@@ -343,6 +380,8 @@ def main():
     STREAM_BATCHES = 4
     sustained_qps = None
     try:
+        if _backend_suspect():
+            raise RuntimeError("skipped: backend suspect after OOMs")
         scfg_best = SearchConfig(
             k=K, n_buckets=probes_used, batch_queries=batch_q["bq"],
             pallas_qc=PALLAS_QC, pallas_mc=1024, int8_queries=True,
@@ -368,6 +407,7 @@ def main():
         if r_stream >= RECALL_GATE:
             sustained_qps = N_QUERIES / per_batch
     except Exception as e:  # noqa: BLE001 — keep the single-call result
+        _note_failure(e)
         print(f"# stream failed: {e}", file=sys.stderr, flush=True)
 
     # ---- probe-phase work model vs the MEASURED chip ceilings
@@ -377,18 +417,26 @@ def main():
 
     built = hi.built
     clf = built.classifier
-    slot_counts = np.zeros((built.store.n_categories,), np.int64)
-    for lo in range(0, N_QUERIES, 2500):
-        logits = clf.model.apply(
-            {"params": clf.params}, q_nav[lo:lo + 2500])
-        _, pb = jax.lax.top_k(logits, probes_used)
-        pb = np.asarray(jax.device_get(pb)).reshape(-1)
-        slot_counts += np.bincount(pb, minlength=built.store.n_categories)
-    counts = np.asarray(jax.device_get(built.store.counts))
-    # Pallas kernel tiles actually used by this config: qc=192, mc=1024
-    flops, bytes_hbm = probe_work_model(
-        slot_counts, counts, D_SEARCH, PALLAS_QC, 1024,
-        ELEM_BYTES)  # int8: 1 B/elem; packed int4: 0.5
+    # guarded: this phase killed the first 40M run AFTER all measurements
+    # were in (the wedged post-OOM heap failed even a 1 MB slice) — a
+    # missing work model must never cost the result JSON
+    try:
+        slot_counts = np.zeros((built.store.n_categories,), np.int64)
+        for lo in range(0, N_QUERIES, 2500):
+            logits = clf.model.apply(
+                {"params": clf.params}, q_nav[lo:lo + 2500])
+            _, pb = jax.lax.top_k(logits, probes_used)
+            pb = np.asarray(jax.device_get(pb)).reshape(-1)
+            slot_counts += np.bincount(pb,
+                                       minlength=built.store.n_categories)
+        counts = np.asarray(jax.device_get(built.store.counts))
+        # Pallas kernel tiles actually used by this config
+        flops, bytes_hbm = probe_work_model(
+            slot_counts, counts, D_SEARCH, PALLAS_QC, 1024,
+            ELEM_BYTES)  # int8: 1 B/elem; packed int4: 0.5
+    except Exception as e:  # noqa: BLE001
+        print(f"# work model failed: {e}", file=sys.stderr, flush=True)
+        flops = bytes_hbm = 0.0
 
     ok = recall >= RECALL_GATE
     if sustained_qps is not None and sustained_qps <= qps:

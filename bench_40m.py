@@ -23,12 +23,18 @@ os.environ.setdefault("B20_GROUPS", "16")
 os.environ.setdefault("B20_INNER", "61")
 os.environ.setdefault("B20_CLUSTERS", "488")
 os.environ.setdefault("B20_DTYPE", "int4")
-# qc=128 shrinks the kernel's n_cat*qc per-slot buffer floor: at 976
-# buckets the 15.74 GB store + ids + scales leave only ~400 MB of HBM
-os.environ.setdefault("B20_QC", "128")
-# 976 buckets: the 20M gate cleared at 8/488 probes (same bucket size),
-# so equivalent row coverage here is ~16 probes — sweep around it
-os.environ.setdefault("B20_SWEEP", "12,16,24,32,48")
+# qc=96 shrinks the kernel's n_cat*qc per-slot buffer floor: the int4
+# store + scales + ids leave ~760 MB of HBM free (measured: the 10k-query
+# qc=128 program wanted 898 MB and missed by 138 MB), and at the typical
+# 164-246 slots/bucket occupancy qc=96 keeps the same 2-3 query blocks
+# per bucket as 128 — the floor drops 25% for little re-read cost
+os.environ.setdefault("B20_QC", "96")
+# start the query-batch ladder where the programs fit (see B20_BQ note)
+os.environ.setdefault("B20_BQ", "2500")
+# 976 buckets: 12 probes measured recall 0.8458 (first 40M session) —
+# below the 0.90 gate, so the sweep starts at 16; router containment at
+# 24 probes calibrated to 0.9707
+os.environ.setdefault("B20_SWEEP", "16,20,24,32")
 
 import bench_20m  # noqa: E402  (reads the env at import)
 
