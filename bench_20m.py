@@ -82,6 +82,16 @@ STORE_DTYPE = os.environ.get("B20_DTYPE", "int8")
 ELEM_BYTES = 0.5 if STORE_DTYPE == "int4" else 1
 RR_BASE = 30 if STORE_DTYPE == "int4" else 10
 RR_AB = (20, 14) if STORE_DTYPE == "int4" else (6, 4)
+# Depth-escalation ladder for when the probe sweep SATURATES below the
+# recall gate: int4's quantized top-(k+extra) candidate cut is a
+# probe-independent recall ceiling (measured at 40M/24 probes: router
+# containment 0.9707 yet recall plateaued 0.867 -> 0.892 over 16 -> 24
+# probes at depth 30 — the true neighbor falls below the quantized cut,
+# which no probe budget can recover; same signature NOTES.md measured at
+# 1M, where depth 30/60 lifted the plateau 0.867 -> 0.97/0.99).
+RR_UP = tuple(int(x) for x in os.environ.get(
+    "B20_EXTRA_UP", "60,100" if STORE_DTYPE == "int4" else "").split(",")
+    if x)
 # Kernel query-block size. 192 is the kbench optimum at the 488-bucket 20M
 # shape, but the per-slot device buffers (query tiles + (qc, 128) output
 # tiles) carry an n_cat*qc alignment floor — at 40M/976 buckets the store
@@ -277,6 +287,46 @@ def main():
         if not sweep_raw:
             raise RuntimeError("no probe budget completed")
         probes_used, t_search, recall = sweep_raw[-1]
+    rerank_extra_used = RR_BASE
+    # probe-independent plateau under the gate -> escalate the exact-rerank
+    # depth at the deepest completed budget (see RR_UP above)
+    if recall < RECALL_GATE:
+        for extra in RR_UP:
+            if _backend_suspect():
+                break
+            try:
+                te, re_ = run_once(probes_used, batch_q["bq"],
+                                   rerank_extra=extra)
+            except Exception as e:  # noqa: BLE001 — keep the current depth
+                _note_failure(e)
+                print(f"# rerank_extra={extra} failed: {e}",
+                      file=sys.stderr, flush=True)
+                continue
+            print(f"# rerank_extra={extra}: {te:.3f}s recall {re_:.4f}",
+                  file=sys.stderr, flush=True)
+            if re_ > recall:
+                t_search, recall, rerank_extra_used = te, re_, extra
+            if re_ >= RECALL_GATE:
+                break
+        # a deeper pool may clear the gate at a SHALLOWER probe budget —
+        # walk back down the already-measured sweep while it keeps the gate
+        if recall >= RECALL_GATE and rerank_extra_used != RR_BASE:
+            for probes, _, _ in reversed(sweep_raw[:-1]):
+                if _backend_suspect():
+                    break
+                try:
+                    td, rd = run_once(probes, batch_q["bq"],
+                                      rerank_extra=rerank_extra_used)
+                except Exception as e:  # noqa: BLE001
+                    _note_failure(e)
+                    break
+                print(f"# probes={probes} @extra={rerank_extra_used}: "
+                      f"{td:.3f}s recall {rd:.4f}", file=sys.stderr,
+                      flush=True)
+                if rd >= RECALL_GATE and td < t_search:
+                    t_search, recall, probes_used = td, rd, probes
+                else:
+                    break
     # f16 rerank shadow: halves the single-core candidate-gather bytes for
     # ~4e-4 distance error (an order below the int8 error the rerank
     # erases) — adopt when it keeps the gate and wins time
@@ -285,7 +335,8 @@ def main():
         if _backend_suspect():
             raise RuntimeError("skipped: backend suspect after OOMs")
         t16, r16 = run_once(probes_used, batch_q["bq"],
-                            rerank_dtype="float16")
+                            rerank_dtype="float16",
+                            rerank_extra=rerank_extra_used)
         print(f"# rerank_f16: {t16:.3f}s recall {r16:.4f}", file=sys.stderr,
               flush=True)
         if r16 >= RECALL_GATE and t16 < t_search:
@@ -300,7 +351,8 @@ def main():
         if _backend_suspect():
             raise RuntimeError("skipped: backend suspect after OOMs")
         twl, rwl = run_once(probes_used, batch_q["bq"],
-                            rerank_dtype=rerank_dtype_used, worklist=True)
+                            rerank_dtype=rerank_dtype_used, worklist=True,
+                            rerank_extra=rerank_extra_used)
         print(f"# worklist: {twl:.3f}s recall {rwl:.4f}", file=sys.stderr,
               flush=True)
         if rwl >= RECALL_GATE and twl < t_search:
@@ -317,7 +369,8 @@ def main():
         try:
             tm, rm = run_once(probes_used, batch_q["bq"],
                               rerank_dtype=rerank_dtype_used,
-                              probe_mass=mass, worklist=worklist_used)
+                              probe_mass=mass, worklist=worklist_used,
+                              rerank_extra=rerank_extra_used)
         except Exception as e:
             _note_failure(e)
             print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
@@ -330,10 +383,10 @@ def main():
     # rerank-depth A/B: rerank_extra sets BOTH the kernel's tracked top-k
     # width (k_eff = k + extra — a narrower buffer tightens the improver
     # threshold, fewer extraction merges) and the single-core host
-    # rerank's gather volume. The default 10 is conservative; adopt a
-    # shallower depth when it keeps the gate and wins time.
-    rerank_extra_used = RR_BASE
-    for extra in RR_AB:
+    # rerank's gather volume. The default is conservative; adopt a
+    # shallower depth when it keeps the gate and wins time. Skipped when
+    # the escalation ladder already proved the base depth under-recalls.
+    for extra in (RR_AB if rerank_extra_used == RR_BASE else ()):
         if _backend_suspect():
             break
         try:

@@ -32,9 +32,14 @@ os.environ.setdefault("B20_QC", "96")
 # start the query-batch ladder where the programs fit (see B20_BQ note)
 os.environ.setdefault("B20_BQ", "2500")
 # 976 buckets: 12 probes measured recall 0.8458 (first 40M session) —
-# below the 0.90 gate, so the sweep starts at 16; router containment at
-# 24 probes calibrated to 0.9707
-os.environ.setdefault("B20_SWEEP", "16,20,24,32")
+# below the 0.90 gate, so the sweep starts at 16. The sweep STOPS at 24:
+# 32 probes RESOURCE_EXHAUSTed at bq=2500 AND bq=1000 (second session),
+# and on this backend a failed dispatch leaks its staged operands, killing
+# every later dispatch in the process. Depth, not probes, is the recall
+# lever past 24 (containment@24 is 0.9707 while recall plateaus ~0.89 at
+# rerank_extra=30): bench_20m's RR_UP escalation ladder deepens the exact
+# rerank instead.
+os.environ.setdefault("B20_SWEEP", "16,20,24")
 
 import bench_20m  # noqa: E402  (reads the env at import)
 
