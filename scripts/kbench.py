@@ -175,6 +175,11 @@ def bench(fn, out_holder):
 
 
 def main():
+    # the axon plugin's registration fails transiently (bursty, minutes
+    # after another TPU process exits — NOTES.md rule 9); re-exec instead
+    # of dying, same as the big benches
+    from tpulmi.utils.backend_retry import ensure_backend
+    ensure_backend()
     args = set(sys.argv[2:]) | ({sys.argv[1]} if len(sys.argv) > 1 else set())
     align = int(os.environ.get("KB_ALIGN", 1024))
     skew = float(os.environ.get("KB_SKEW", 0.0))
