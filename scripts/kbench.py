@@ -275,9 +275,13 @@ def main():
             # extras drawn from the residue-class pool lanes — against a
             # KB_K=KOUT run this isolates the narrow-buffer extraction win
             kout = int(os.environ.get("KB_KOUT", 0))
+            # KB_PAIR=1: two mc-row refs per grid step (2·mc-wide compute
+            # tile at row_align=mc — mc=2048 amortization without its
+            # store padding)
+            kb_pair = os.environ.get("KB_PAIR") == "1"
 
             def run(qc=qc, mc=mc, int8q=int8q, wl_pad=wl_pad, mode=mode,
-                    sub=sub, kout=kout):
+                    sub=sub, kout=kout, kb_pair=kb_pair):
                 return pallas_probe_search(
                     probes, queries, store, k=K, qc=qc, mc=mc,
                     max_chunks=-(-max_bucket // mc),
@@ -287,6 +291,7 @@ def main():
                     extract_mode=mode,
                     wl_pad=wl_pad,
                     k_out=kout,
+                    pair=kb_pair,
                 )
 
             try:
@@ -298,6 +303,7 @@ def main():
             key = (f"pallas_qc{qc}_mc{mc}" + ("_int8q" if int8q else "")
                    + (f"_{mode}" if mode != "scalar" else "")
                    + (f"_sub{sub}" if len(sub_variants) > 1 else "")
+                   + ("_pair" if kb_pair else "")
                    + ("_wl" if use_wl else ""))
             results[key] = {
                 "s": round(t, 4),

@@ -465,3 +465,70 @@ def test_pallas_pool_worklist_matches_dense(rng, mode):
         jnp.asarray(probes), jnp.asarray(queries), store, wl_pad=4096, **kw)
     np.testing.assert_allclose(np.asarray(df), np.asarray(d2), atol=1e-5)
     assert (np.asarray(if_) == np.asarray(i2)).mean() > 0.99
+
+
+@pytest.mark.parametrize("mode", ["scalar", "group", "group2"])
+def test_pallas_pair_matches_dense(rng, mode):
+    """``pair=True`` fuses two consecutive mc-row chunks into one 2·mc-wide
+    compute tile (two DMA refs per grid step). Results must be identical to
+    the single-chunk grid on a store whose buckets have ODD and sub-mc
+    chunk counts (the second ref then clamps to the last chunk and its
+    duplicated columns must be masked, never extracted)."""
+    data, queries, labels, store = _setup(rng, n=4000, c=13, q=64, mc=256)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:3] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    kw = dict(k=10, qc=128, mc=256, max_chunks=-(-max_bucket // 256),
+              compute_dtype=jnp.float32, extract_mode=mode, interpret=True)
+    d0, i0, ms0 = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, **kw)
+    d1, i1, ms1 = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, pair=True, **kw)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    assert int(ms1) == int(ms0)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pallas_pair_int8_worklist(rng, packed):
+    """pair × int8-query × flat-worklist × probe-mass dumps, on int8 and
+    packed-int4 stores: the worklist total must use pair-unit step counts
+    and results must match the dense single-chunk grid."""
+    from tpulmi.ops.quantize import quantize_store
+
+    mc = 1024
+    d = 256 if packed else 128
+    data, queries, labels, store = _setup(rng, n=9000, d=d, c=5, q=48, mc=mc)
+    store = quantize_store(store, bits=4 if packed else 8)
+    c = store.n_categories
+    probes = np.stack(
+        [rng.permutation(c)[:3] for _ in range(queries.shape[0])]
+    ).astype(np.int32)
+    drop = rng.random(probes.shape) < 0.3
+    drop[:, 0] = False
+    probes = np.where(drop, c, probes).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    kw = dict(k=10, qc=128, mc=mc, max_chunks=-(-max_bucket // mc),
+              compute_dtype=jnp.float32, int8_queries=True,
+              extract_mode="group2", interpret=True)
+    d0, i0, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, **kw)
+    d1, i1, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, pair=True, **kw)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=1e-5)
+    assert (np.asarray(i1) == np.asarray(i0)).mean() > 0.99
+
+    dw, iw, _, total = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, pair=True,
+        wl_pad=2048, **kw)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(d0), atol=1e-5)
+    assert (np.asarray(iw) == np.asarray(i0)).mean() > 0.99
+    # worklist totals count PAIR steps: Σ ceil(slots/qc)·max(ceil(chunks/2),1)
+    sc = np.bincount(probes.reshape(-1)[probes.reshape(-1) < c],
+                     minlength=c)
+    ndb = -(-np.asarray(store.counts) // mc)
+    steps = np.maximum(-(-ndb // 2), 1)
+    want = int(np.sum((-(-sc // 128)) * steps * (sc > 0)))
+    assert int(total) == want

@@ -68,22 +68,24 @@ _DSTART, _NDB, _QLIM, _DLIM = range(4)
 def _kernel(s_ref, q_ref, d_ref, *rest,
             k: int, qc: int, mc: int, quantized: bool = False,
             int8q: bool = False, sub: int = 64, mode: str = "scalar",
-            packed: bool = False, pool: bool = False):
-    # dense 2-D grid: (query block, chunk); bucket-size skew costs empty
-    # grid steps (compute gated off, DMA elided by the clamped index map)
+            packed: bool = False, pool: bool = False, pair: bool = False):
+    # dense 2-D grid: (query block, chunk-step); bucket-size skew costs
+    # empty grid steps (compute gated off, DMA elided by the clamped index
+    # map). With ``pair`` each step covers TWO consecutive mc-row chunks.
     j = pl.program_id(0)   # query block
-    c = pl.program_id(1)   # data chunk within the block's bucket
+    c = pl.program_id(1)   # chunk step within the block's bucket
     last_c = pl.num_programs(1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub, mode=mode, packed=packed, pool=pool)
+                 sub=sub, mode=mode, packed=packed, pool=pool, pair=pair)
 
 
 def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
                  k: int, qc: int, mc: int, cmax: int,
                  quantized: bool = False,
                  int8q: bool = False, sub: int = 64, mode: str = "scalar",
-                 packed: bool = False, pool: bool = False):
+                 packed: bool = False, pool: bool = False,
+                 pair: bool = False):
     # flat worklist grid: one step per LIVE (query block, chunk) pair —
     # bucket-size skew costs nothing. wl_ref (wl_pad,) holds the
     # block-major worklist PACKED one int32 per item (j*cmax + c — SMEM is
@@ -93,18 +95,20 @@ def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
     i = pl.program_id(0)
     j = wl_ref[i] // cmax
     c = wl_ref[i] % cmax
-    # a block's final item is its real last chunk (empty probed buckets
-    # get one item so their output tile still receives the sentinel init)
-    last_c = jnp.maximum(s_ref[_NDB, j], 1) - 1
+    # a block's final item is its real last chunk-step (empty probed
+    # buckets get one item so their output tile still gets the sentinel)
+    ndb = s_ref[_NDB, j]
+    nsteps = (ndb + 1) // 2 if pair else ndb
+    last_c = jnp.maximum(nsteps, 1) - 1
     _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  k=k, qc=qc, mc=mc, quantized=quantized, int8q=int8q,
-                 sub=sub, mode=mode, packed=packed, pool=pool)
+                 sub=sub, mode=mode, packed=packed, pool=pool, pair=pair)
 
 
 def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                  *, k: int, qc: int, mc: int, quantized: bool,
                  int8q: bool, sub: int, mode: str, packed: bool = False,
-                 pool: bool = False):
+                 pool: bool = False, pair: bool = False):
     # ``pool``: the scratch lanes [k, K_LANE) — untouched by the exact
     # top-k merge below — accumulate each 128-column residue class's
     # best-ever harvested candidate (one compare + two selects per
@@ -114,14 +118,26 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
     # threshold, ~min(cnt, k) extraction merges) instead of widening k to
     # the rerank depth (k + rerank_extra, up to 40 at int4 — every merge
     # pass and the improver count scale with that width).
-    if quantized:
-        sc_ref, out_d_ref, out_i_ref, best_d, best_i = rest
-    else:
-        out_d_ref, out_i_ref, best_d, best_i = rest
+    # ``pair``: two consecutive mc-row data refs per grid step form one
+    # 2·mc-wide compute tile — mc=2048's per-step amortization (fewer merge
+    # invocations + fixed costs; kbench 17.8 → 15.8 ms at the 20M replica)
+    # WITHOUT mc=2048's row_align=2048 store padding, which pushed the real
+    # 20M int8 store past HBM (BENCH_20M.md). The second ref clamps to the
+    # bucket's last chunk on odd chunk counts; its duplicated columns sit
+    # past d_lim and the column mask kills them.
+    refs = list(rest)
+    d2_ref = refs.pop(0) if pair else None
+    sc_ref = refs.pop(0) if quantized else None
+    sc2_ref = refs.pop(0) if (quantized and pair) else None
+    out_d_ref, out_i_ref, best_d, best_i = refs
+    w_mc = 2 * mc if pair else mc     # compute-tile width (columns)
     ndb = s_ref[_NDB, j]
+    nsteps = (ndb + 1) // 2 if pair else ndb
     q_lim = s_ref[_QLIM, j]
     d_lim = s_ref[_DLIM, j]
-    d_blk = s_ref[_DSTART, j] + jnp.minimum(c, jnp.maximum(ndb - 1, 0))
+    d_blk = s_ref[_DSTART, j] + jnp.minimum(
+        2 * c if pair else c, jnp.maximum(ndb - 1, 0))
+    row0 = d_blk * mc                 # first store row of this tile
 
     # "group2" keeps the scratch in SIMILARITY space (top-k = maxima): the
     # per-tile 1-sims conversion pass disappears and is paid once per block
@@ -137,20 +153,28 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                              jnp.float32)
         best_i[:] = jnp.full((qc, K_LANE), -1, jnp.int32)
 
-    @pl.when(jnp.logical_and(c < ndb, q_lim > 0))
+    @pl.when(jnp.logical_and(c < nsteps, q_lim > 0))
     def _():
         q = q_ref[:]            # (qc, d); int8 codes when int8q
-        blk = d_ref[:]          # (mc, d); int8 codes when quantized;
-        #                         (mc, d/2) packed nibbles when packed
-        if packed:
-            # int4 unpack in VMEM: the HBM read was half an int8 store's
-            # bytes; shifts sign-extend the nibbles and the concat restores
-            # original dim order (byte j = dims j, j+d/2 —
-            # tpulmi/ops/quantize.pack_int4). Shifts MUST run in int32:
-            # Mosaic crashes on int8 shifts (hardware-measured).
-            b32 = blk.astype(jnp.int32)
-            blk = jnp.concatenate(
-                [(b32 << 28) >> 28, b32 >> 4], axis=1).astype(jnp.int8)
+
+        def _load(ref):
+            blk = ref[:]        # (mc, d); int8 codes when quantized;
+            #                     (mc, d/2) packed nibbles when packed
+            if packed:
+                # int4 unpack in VMEM: the HBM read was half an int8
+                # store's bytes; shifts sign-extend the nibbles and the
+                # concat restores original dim order (byte j = dims
+                # j, j+d/2 — tpulmi/ops/quantize.pack_int4). Shifts MUST
+                # run in int32: Mosaic crashes on int8 shifts
+                # (hardware-measured).
+                b32 = blk.astype(jnp.int32)
+                blk = jnp.concatenate(
+                    [(b32 << 28) >> 28, b32 >> 4], axis=1).astype(jnp.int8)
+            return blk
+
+        blk = _load(d_ref)
+        if pair:
+            blk = jnp.concatenate([blk, _load(d2_ref)], axis=0)
         if int8q:
             # int8 x int8 -> int32 directly on the MXU: v5e runs int8
             # matmuls at 2x the bf16 rate (394 vs 197 TOPS peak), and the
@@ -176,7 +200,10 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
         if quantized:
             # per-row scales/127 arrive (mc/128, 128)-tiled (TPU blocks need
             # ≥(8,128) tiles); row-major reshape restores scalar row order
-            sims = sims * sc_ref[:].reshape(1, mc)
+            sc = sc_ref[:].reshape(1, mc)
+            if pair:
+                sc = jnp.concatenate([sc, sc2_ref[:].reshape(1, mc)], axis=1)
+            sims = sims * sc
 
         if sim_space:
             # --- "group2": the "group" harvest algorithm, restructured to
@@ -196,9 +223,9 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
             # merges every unmerged candidate is provably outside the
             # top-k; collisions fall back to the scalar loop on the tile
             # with the harvested winners knocked out.
-            width = mc // K_LANE
-            col = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 1)
-            live_cols = d_lim - d_blk * mc
+            width = w_mc // K_LANE
+            col = jax.lax.broadcasted_iota(jnp.int32, (qc, w_mc), 1)
+            live_cols = d_lim - row0
             vals = jnp.where(col < live_cols, sims, SENT_SIM)
             qrow = jax.lax.broadcasted_iota(jnp.int32, (qc, 1), 0)[:, 0]
             qmask = qrow < q_lim
@@ -237,7 +264,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                         a = jnp.argmax(mm, axis=1).astype(jnp.int32)
                         sel = sub_lane == a[:, None]
                         cid = jnp.sum(jnp.where(sel, cg, 0), axis=1)
-                        m_id = d_blk * mc + cid
+                        m_id = row0 + cid
                         worst_ = jnp.min(bd_[:, :k], axis=1)
                         wi = jnp.argmin(
                             bd_[:, :k], axis=1).astype(jnp.int32)
@@ -255,7 +282,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                         # sim-space residue-class pool (see _kernel_core)
                         p_upd = jnp.logical_and(m > st_bd, sub_lane >= k)
                         st_bd = jnp.where(p_upd, m, st_bd)
-                        st_bi = jnp.where(p_upd, d_blk * mc + cg, st_bi)
+                        st_bi = jnp.where(p_upd, row0 + cg, st_bi)
                     _, bd, bi = jax.lax.fori_loop(
                         0, n_small, small, (m, st_bd, st_bi))
                     best_d[lo:lo + SUB] = bd
@@ -281,7 +308,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                             vv_, bd_, bi_ = state
                             mv = jnp.max(vv_, axis=1)
                             a = jnp.argmax(vv_, axis=1).astype(jnp.int32)
-                            m_id = d_blk * mc + a
+                            m_id = row0 + a
                             worst_ = jnp.min(bd_[:, :k], axis=1)
                             wi = jnp.argmin(
                                 bd_[:, :k], axis=1).astype(jnp.int32)
@@ -292,7 +319,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                             bi_ = jnp.where(hit, m_id[:, None], bi_)
                             vv_ = jnp.where(
                                 jax.lax.broadcasted_iota(
-                                    jnp.int32, (SUB, mc), 1) == a[:, None],
+                                    jnp.int32, (SUB, w_mc), 1) == a[:, None],
                                 SENT_SIM, vv_)
                             return vv_, bd_, bi_
 
@@ -315,8 +342,8 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
         # the (qc,)-shaped mask on `cnt` below prevents for the price of
         # one tiny 1-D select instead of a full (qc, mc) row-iota + and +
         # where every tile.
-        col = jax.lax.broadcasted_iota(jnp.int32, (qc, mc), 1)
-        live_cols = d_lim - d_blk * mc   # may exceed mc on interior chunks
+        col = jax.lax.broadcasted_iota(jnp.int32, (qc, w_mc), 1)
+        live_cols = d_lim - row0   # may exceed mc on interior chunks
         dists = jnp.where(col < live_cols, dists, SENTINEL_DIST)
 
         # Threshold-gated top-k maintenance. A fixed k min-extraction passes
@@ -364,7 +391,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
             # rare collision (k=10 improvers spread over 128 groups) falls
             # back to the scalar extraction loop below with the harvested
             # winners knocked out.
-            width = mc // K_LANE
+            width = w_mc // K_LANE
             qmask = qrow < q_lim                               # (qc,)
             for g in range(qc // SUB):
                 lo = g * SUB
@@ -399,7 +426,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                         a = jnp.argmin(mm, axis=1).astype(jnp.int32)
                         sel = sub_lane == a[:, None]
                         cid = jnp.sum(jnp.where(sel, cg, 0), axis=1)
-                        m_id = d_blk * mc + cid
+                        m_id = row0 + cid
                         worst_ = jnp.max(bd_[:, :k], axis=1)
                         wi = jnp.argmax(
                             bd_[:, :k], axis=1).astype(jnp.int32)
@@ -420,7 +447,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                         # also land here — the host rerank dedupes)
                         p_upd = jnp.logical_and(m < st_bd, sub_lane >= k)
                         st_bd = jnp.where(p_upd, m, st_bd)
-                        st_bi = jnp.where(p_upd, d_blk * mc + cg, st_bi)
+                        st_bi = jnp.where(p_upd, row0 + cg, st_bi)
                     _, bd, bi = jax.lax.fori_loop(
                         0, n_small, small, (m, st_bd, st_bi))
                     best_d[lo:lo + SUB] = bd
@@ -453,7 +480,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                             dd_, bd_, bi_ = state
                             mv = jnp.min(dd_, axis=1)
                             a = jnp.argmin(dd_, axis=1).astype(jnp.int32)
-                            m_id = d_blk * mc + a
+                            m_id = row0 + a
                             worst_ = jnp.max(bd_[:, :k], axis=1)
                             wi = jnp.argmax(
                                 bd_[:, :k], axis=1).astype(jnp.int32)
@@ -464,7 +491,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                             bi_ = jnp.where(hit, m_id[:, None], bi_)
                             dd_ = jnp.where(
                                 jax.lax.broadcasted_iota(
-                                    jnp.int32, (SUB, mc), 1) == a[:, None],
+                                    jnp.int32, (SUB, w_mc), 1) == a[:, None],
                                 SENTINEL_DIST, dd_)
                             return dd_, bd_, bi_
 
@@ -474,7 +501,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                         best_i[lo:lo + SUB] = bi
             return
 
-        sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, mc), 1)
+        sub_col = jax.lax.broadcasted_iota(jnp.int32, (SUB, w_mc), 1)
         for g in range(qc // SUB):
             lo = g * SUB
             n_iter = jnp.max(cnt[lo:lo + SUB])
@@ -487,7 +514,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
                     a = jnp.argmin(dd, axis=1).astype(jnp.int32)  # (SUB,)
                     # "id" tracked in-kernel is the global STORE ROW; the
                     # original dataset id is looked up outside via a gather
-                    m_id = d_blk * mc + a
+                    m_id = row0 + a
                     # replace the current worst scratch entry where the
                     # new candidate improves on it
                     worst = jnp.max(bd[:, :k], axis=1)
@@ -539,7 +566,7 @@ def _kernel_core(j, c, last_c, s_ref, q_ref, d_ref, rest,
     jax.jit,
     static_argnames=("k", "qc", "mc", "max_chunks", "compute_dtype",
                      "int8_queries", "extract_sub", "extract_mode", "wl_pad",
-                     "interpret", "k_out"),
+                     "interpret", "k_out", "pair"),
 )
 def pallas_probe_search(
     probe_buckets: jnp.ndarray,   # (Q, P) int32
@@ -568,6 +595,12 @@ def pallas_probe_search(
                                   # rows [k, k_out) are BEST-EFFORT rerank
                                   # candidates, not the exact (k, k_out]
                                   # order statistics (group/group2 only)
+    pair: bool = False,           # two mc-row DMA refs per grid step → one
+                                  # 2·mc-wide compute tile: mc=2048's
+                                  # per-step amortization at row_align=mc
+                                  # (kbench 17.8 → 15.8 ms at the 20M
+                                  # replica, where a real row_align=2048
+                                  # store pads past HBM)
 ) -> Tuple[jnp.ndarray, ...]:
     """Drop-in replacement for tpulmi.search._probe_search_impl backed by the
     fused Pallas kernel. Returns (dists (Q,k), ids (Q,k), max_slots); with
@@ -734,20 +767,34 @@ def pallas_probe_search(
         jax.ShapeDtypeStruct((n_qblocks * qc, K_LANE), jnp.int32),
     ]
     wl_total = None
+    # ``pair``: grid steps advance TWO mc-row chunks at a time (two data
+    # refs); all step math below is in pair units while the scalars stay in
+    # block units (the kernel derives pair counts from _NDB itself).
+    steps_max = -(-max_chunks // 2) if pair else max_chunks
+
+    def _block_of(step, r, s, j):
+        # store block of the step's r-th ref (r=0/1), clamped to the
+        # bucket's last chunk (odd counts re-read it; column mask kills it)
+        chunk = 2 * step + r if pair else step
+        return s[_DSTART, j] + jnp.minimum(chunk,
+                                           jnp.maximum(s[_NDB, j] - 1, 0))
+
     if wl_pad > 0:
         if wl_pad > WL_PAD_MAX:
             raise ValueError(
                 f"wl_pad={wl_pad} exceeds WL_PAD_MAX={WL_PAD_MAX} (the "
                 f"worklist is a scalar-prefetch SMEM operand); use the "
                 f"dense grid (wl_pad=0) for this shape")
-        # flat worklist: one grid step per live (block, chunk) pair,
+        # flat worklist: one grid step per live (block, chunk-step) pair,
         # block-major so the scratch accumulator carries within a block.
         # Empty probed buckets keep ONE item (their output tile must get
         # the sentinel init); dead alignment-tail blocks get none.
         # Packed one int32 per item (j*cmax + c) to halve SMEM traffic.
-        cmax = max_chunks + 1
+        cmax = steps_max + 1
         live = blk_qlim > 0
-        ndb_wl = jnp.where(live, jnp.maximum(blk_ndb, 1), 0).astype(jnp.int32)
+        blk_steps = (blk_ndb + 1) // 2 if pair else blk_ndb
+        ndb_wl = jnp.where(live, jnp.maximum(blk_steps, 1), 0).astype(
+            jnp.int32)
         cum = jnp.cumsum(ndb_wl).astype(jnp.int32)
         wl_total = cum[n_qblocks - 1]
         ex = cum - ndb_wl
@@ -756,25 +803,29 @@ def pallas_probe_search(
             jnp.searchsorted(cum, ii, side="right").astype(jnp.int32),
             n_qblocks - 1,
         )
-        wl_c = jnp.minimum(ii - jnp.take(ex, wl_j), max_chunks)
+        wl_c = jnp.minimum(ii - jnp.take(ex, wl_j), steps_max)
         wl = wl_j * cmax + wl_c
 
-        def data_index_flat(i, s, w):
+        def data_index_flat(i, s, w, r=0):
             j = w[i] // cmax
-            return (
-                s[_DSTART, j]
-                + jnp.minimum(w[i] % cmax, jnp.maximum(s[_NDB, j] - 1, 0)),
-                0,
-            )
+            return (_block_of(w[i] % cmax, r, s, j), 0)
 
         in_specs = [
             pl.BlockSpec((qc, d), lambda i, s, w: (w[i] // cmax, 0)),
             pl.BlockSpec((mc, d_stored), data_index_flat),
         ]
         inputs = [scalars, wl, qvecs, data]
+        if pair:
+            in_specs.append(pl.BlockSpec(
+                (mc, d_stored), partial(data_index_flat, r=1)))
+            inputs.append(data)
         if quantized:
             in_specs.append(pl.BlockSpec((mc // 128, 128), data_index_flat))
             inputs.append(sc_blocks)
+            if pair:
+                in_specs.append(pl.BlockSpec(
+                    (mc // 128, 128), partial(data_index_flat, r=1)))
+                inputs.append(sc_blocks)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(wl_pad,),
@@ -787,25 +838,31 @@ def pallas_probe_search(
         )
         kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
                          quantized=quantized, int8q=int8q, sub=extract_sub,
-                         mode=extract_mode, packed=store.packed, pool=pool)
+                         mode=extract_mode, packed=store.packed, pool=pool,
+                         pair=pair)
     else:
-        def data_block_index(j, c, s):
-            return (
-                s[_DSTART, j] + jnp.minimum(c, jnp.maximum(s[_NDB, j] - 1, 0)),
-                0,
-            )
+        def data_block_index(j, c, s, r=0):
+            return (_block_of(c, r, s, j), 0)
 
         in_specs = [
             pl.BlockSpec((qc, d), lambda j, c, s: (j, 0)),
             pl.BlockSpec((mc, d_stored), data_block_index),
         ]
         inputs = [scalars, qvecs, data]
+        if pair:
+            in_specs.append(pl.BlockSpec(
+                (mc, d_stored), partial(data_block_index, r=1)))
+            inputs.append(data)
         if quantized:
             in_specs.append(pl.BlockSpec((mc // 128, 128), data_block_index))
             inputs.append(sc_blocks)
+            if pair:
+                in_specs.append(pl.BlockSpec(
+                    (mc // 128, 128), partial(data_block_index, r=1)))
+                inputs.append(sc_blocks)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(n_qblocks, max_chunks),
+            grid=(n_qblocks, steps_max),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((qc, K_LANE), lambda j, c, s: (j, 0)),
@@ -815,7 +872,7 @@ def pallas_probe_search(
         )
         kernel = partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized,
                          int8q=int8q, sub=extract_sub, mode=extract_mode,
-                         packed=store.packed, pool=pool)
+                         packed=store.packed, pool=pool, pair=pair)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
