@@ -532,3 +532,30 @@ def test_pallas_pair_int8_worklist(rng, packed):
     steps = np.maximum(-(-ndb // 2), 1)
     want = int(np.sum((-(-sc // 128)) * steps * (sc > 0)))
     assert int(total) == want
+
+
+def test_index_pair_end_to_end(rng):
+    """SearchConfig.pallas_pair through the facade: identical results to
+    the single-chunk grid, composed with the flat worklist (pair-unit pad
+    estimate)."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    n, d_nav, d = 2000, 32, 128
+    nav = rng.normal(size=(n, d_nav)).astype(np.float32)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    li = LearnedIndex(IndexConfig(n_categories=8, epochs=2, lr=0.003,
+                                  batch_size=256, row_align=256))
+    li.build(nav, data)
+    qn, qs = nav[:40], data[:40]
+    base = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                        pallas_qc=128, pallas_mc=256)
+    d0, i0 = li.search(qn, qs, n_buckets=3, k=5, search_config=base)
+    for wl in (False, True):
+        pp = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                          pallas_qc=128, pallas_mc=256, pallas_pair=True,
+                          pallas_worklist=wl)
+        d1, i1 = li.search(qn, qs, n_buckets=3, k=5, search_config=pp)
+        np.testing.assert_allclose(d1, d0, atol=1e-5)
+        np.testing.assert_array_equal(i1, i0)

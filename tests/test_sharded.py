@@ -246,6 +246,13 @@ def test_facade_shard_pallas_matches_xla(rng, mesh8):
     np.testing.assert_allclose(d_p, d_x, atol=1e-5)
     assert (i_p == i_x).mean() > 0.99
     assert (i_p == i_single).mean() > 0.99
+    # paired-block grid per shard: same k-set again
+    scfg_pp = SearchConfig(k=10, backend="pallas", compute_dtype=None,
+                           pallas_qc=128, pallas_mc=128,
+                           pallas_extract="scalar", pallas_pair=True)
+    d_pp, i_pp = li.search(qn, qs, n_buckets=4, k=10, search_config=scfg_pp)
+    np.testing.assert_allclose(d_pp, d_single, atol=1e-5)
+    assert (i_pp == i_single).mean() > 0.99
 
 
 def test_facade_shard_pallas_quantized_rerank(rng, mesh8):

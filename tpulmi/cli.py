@@ -65,6 +65,7 @@ def run(
     rerank_dtype: str = "float32",
     pallas_worklist: bool = False,
     pallas_extract: str = "group",
+    pallas_pair: bool = False,
     fetch_dtype: str = "",
 ):
     """Run build + search over each probe budget, writing SISAP result files
@@ -169,7 +170,7 @@ def run(
 
     scfg = None
     if (probe_mass or prune or rerank_dtype != "float32" or pallas_worklist
-            or pallas_extract != "group" or fetch_dtype
+            or pallas_extract != "group" or pallas_pair or fetch_dtype
             or store_dtype == "int4"):
         from tpulmi.utils.config import SearchConfig
 
@@ -188,6 +189,7 @@ def run(
             rerank_dtype=rerank_dtype,
             pallas_worklist=pallas_worklist,
             pallas_extract=pallas_extract,
+            pallas_pair=pallas_pair,
             fetch_dtype=fetch_dtype or None,
             # int4's ~4e-3 cosine error needs a deeper exact-rerank pool
             # than int8's default 10 (tpulmi/ops/quantize.py docstring)
@@ -290,6 +292,11 @@ def main(argv=None):
                              "worklist grid (identical results; removes "
                              "the empty grid steps bucket-size skew pays "
                              "on the dense grid)")
+    parser.add_argument("--pallas-pair", default=False, type=_str2bool,
+                        help="Fuse two consecutive data chunks into one "
+                             "2*mc-wide kernel tile per grid step "
+                             "(identical results; halves grid steps and "
+                             "top-k merge invocations at row_align=mc)")
     parser.add_argument("--fetch-dtype", default="",
                         choices=["", "float16", "bfloat16"],
                         help="Narrow the fetched distance leaf to this "
@@ -333,6 +340,7 @@ def main(argv=None):
         rerank_dtype=args.rerank_dtype,
         pallas_worklist=args.pallas_worklist,
         pallas_extract=args.pallas_extract,
+        pallas_pair=args.pallas_pair,
         fetch_dtype=args.fetch_dtype,
     )
 

@@ -843,7 +843,8 @@ class LearnedIndex:
         prog_key = (plan.backend, n_buckets, plan.k_eff, plan.qpb_pad,
                     plan.data_chunk, plan.max_chunks,
                     scfg.compute_dtype, scfg.probe_mass, scfg.int8_queries,
-                    scfg.pallas_extract, scfg.pallas_qc, scfg.pallas_mc)
+                    scfg.pallas_extract, scfg.pallas_qc, scfg.pallas_mc,
+                    scfg.pallas_pair)
         program = self._sharded_programs.get(prog_key)
         if program is None:
             program = make_sharded_search_program(
@@ -863,6 +864,7 @@ class LearnedIndex:
                 pallas_max_chunks=plan.pallas_max_chunks,
                 pallas_int8_queries=scfg.int8_queries,
                 pallas_extract=scfg.pallas_extract,
+                pallas_pair=scfg.pallas_pair,
             )
             self._sharded_programs[prog_key] = program
         return program
@@ -1091,7 +1093,8 @@ class LearnedIndex:
                     (scfg.prune_after, plan.prune_eps) if plan.pruning
                     else None,
                     scfg.probe_mass, scfg.int8_queries, scfg.pallas_extract,
-                    plan.wl_pad, scfg.fetch_dtype, plan.pallas_pool_k)
+                    plan.wl_pad, scfg.fetch_dtype, plan.pallas_pool_k,
+                    scfg.pallas_pair)
         program = self._search_programs.get(prog_key)
         if program is None:
             program = make_search_program(
@@ -1111,6 +1114,7 @@ class LearnedIndex:
                 pallas_extract=scfg.pallas_extract,
                 pallas_wl_pad=plan.wl_pad,
                 pallas_pool_k=plan.pallas_pool_k,
+                pallas_pair=scfg.pallas_pair,
                 prune_after=scfg.prune_after if plan.pruning else 0,
                 prune_eps=plan.prune_eps,
                 probe_mass=scfg.probe_mass,
@@ -1351,7 +1355,10 @@ class LearnedIndex:
         sc = np.bincount(pb[pb < n_cat], minlength=n_cat)
         counts = np.asarray(jax.device_get(built.store.counts))
         qc, mc = scfg.pallas_qc, scfg.pallas_mc
-        ndb = np.maximum(-(-counts // mc), 1)
+        ndb = -(-counts // mc)
+        if scfg.pallas_pair:  # grid steps advance two chunks at a time
+            ndb = -(-ndb // 2)
+        ndb = np.maximum(ndb, 1)
         w = int(np.sum((-(-sc // qc)) * ndb * (sc > 0)))
         pad = max(-(-int(w * 1.15) // 1024) * 1024, 1024)
         if pad > WL_PAD_MAX:

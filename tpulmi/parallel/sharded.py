@@ -405,6 +405,7 @@ def make_sharded_search_program(
     pallas_max_chunks: int = 1,
     pallas_int8_queries: bool = False,
     pallas_extract: str = "scalar",
+    pallas_pair: bool = False,
 ):
     """ONE jitted multi-chip search program: replicated MLP routing +
     bucket-sharded probe search + all-gather top-k merge. The multi-chip
@@ -461,6 +462,7 @@ def make_sharded_search_program(
                 compute_dtype=compute_dtype or jnp.float32,
                 int8_queries=pallas_int8_queries,
                 extract_mode=pallas_extract,
+                pair=pallas_pair,
                 interpret=interpret,
             )
         else:

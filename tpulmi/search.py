@@ -415,6 +415,7 @@ def make_search_program(
     pallas_extract: str = "scalar",
     pallas_wl_pad: int = 0,
     pallas_pool_k: int = 0,
+    pallas_pair: bool = False,
     prune_after: int = 0,
     prune_eps: float = 0.0,
     probe_mass=None,
@@ -499,6 +500,7 @@ def make_search_program(
                 int8_queries=pallas_int8_queries,
                 extract_mode=pallas_extract,
                 wl_pad=pallas_wl_pad,
+                pair=pallas_pair,
                 # trace-time constant: Mosaic has no CPU target, so the
                 # explicit pallas backend falls back to interpret mode
                 # there (tests; "auto" never picks pallas on CPU)

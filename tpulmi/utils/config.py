@@ -129,6 +129,13 @@ class SearchConfig:
     # statistics; the exact host rerank reorders whatever it gets, so the
     # effect on recall is A/B'd under the same gate as every other knob.
     pallas_pool: bool = False
+    # Pallas backend: fuse TWO consecutive mc-row chunks into one 2·mc-wide
+    # compute tile per grid step (two DMA refs). Halves grid steps and
+    # top-k merge invocations — mc=2048's measured per-step amortization
+    # (kbench 20M replica: 17.8 → 15.8 ms) without requiring
+    # row_align=2048, whose store padding pushed the real 20M int8 store
+    # past HBM. Off by default until the composed path is hardware-A/B'd.
+    pallas_pair: bool = False
 
     # Quantized (int8) stores only: rerank the final candidates against a
     # host-resident full-precision corpus (when the index has one) to erase
