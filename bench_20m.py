@@ -186,7 +186,8 @@ def main():
     # saves ~3 dispatch round trips ~= 1 s on this backend); fall back to
     # smaller batches if the single dispatch exhausts the ~1 GB headroom
     def run_once(probes, bq, rerank_dtype="float32", probe_mass=None,
-                 worklist=False, rerank_extra=RR_BASE, pool=False):
+                 worklist=False, rerank_extra=RR_BASE, pool=False,
+                 pair=False):
         # round-3 tuned kernel shape: int8 x int8 MXU matmul with quantized
         # query tiles (exact rerank absorbs the quantization noise);
         # qc=192 reads each bucket's data once at the ~164-slot typical
@@ -200,7 +201,8 @@ def main():
                             probe_mass=probe_mass,
                             pallas_worklist=worklist,
                             rerank_extra=rerank_extra,
-                            pallas_pool=pool)
+                            pallas_pool=pool,
+                            pallas_pair=pair)
         hi.search(q_nav, q_search, n_buckets=probes, k=K,
                   search_config=scfg,
                   queries_search_host=q_host)  # warmup/compile
@@ -360,6 +362,24 @@ def main():
     except Exception as e:  # noqa: BLE001 — keep the dense-grid result
         _note_failure(e)
         print(f"# worklist failed: {e}", file=sys.stderr, flush=True)
+    # paired-block grid A/B: identical results — two consecutive data
+    # chunks per grid step halve merge invocations + per-step fixed costs
+    # at row_align=mc (kbench 20M replica: 17.8 -> 15.8 ms)
+    pair_used = False
+    try:
+        if _backend_suspect():
+            raise RuntimeError("skipped: backend suspect after OOMs")
+        tpr, rpr = run_once(probes_used, batch_q["bq"],
+                            rerank_dtype=rerank_dtype_used,
+                            worklist=worklist_used,
+                            rerank_extra=rerank_extra_used, pair=True)
+        print(f"# pair: {tpr:.3f}s recall {rpr:.4f}", file=sys.stderr,
+              flush=True)
+        if rpr >= RECALL_GATE and tpr < t_search:
+            t_search, recall, pair_used = tpr, rpr, True
+    except Exception as e:  # noqa: BLE001 — keep the single-chunk result
+        _note_failure(e)
+        print(f"# pair failed: {e}", file=sys.stderr, flush=True)
     # true-mass truncation A/B: rank unchanged, confident queries drop
     # their tail probes — adopt when it keeps the gate and wins time
     probe_mass_used = None
@@ -370,7 +390,8 @@ def main():
             tm, rm = run_once(probes_used, batch_q["bq"],
                               rerank_dtype=rerank_dtype_used,
                               probe_mass=mass, worklist=worklist_used,
-                              rerank_extra=rerank_extra_used)
+                              rerank_extra=rerank_extra_used,
+                              pair=pair_used)
         except Exception as e:
             _note_failure(e)
             print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
@@ -393,7 +414,8 @@ def main():
             te, re_ = run_once(probes_used, batch_q["bq"],
                                rerank_dtype=rerank_dtype_used,
                                probe_mass=probe_mass_used,
-                               worklist=worklist_used, rerank_extra=extra)
+                               worklist=worklist_used, rerank_extra=extra,
+                               pair=pair_used)
         except Exception as e:  # noqa: BLE001 — keep the current depth
             _note_failure(e)
             print(f"# rerank_extra={extra} failed: {e}", file=sys.stderr,
@@ -416,7 +438,8 @@ def main():
                                 rerank_dtype=rerank_dtype_used,
                                 probe_mass=probe_mass_used,
                                 worklist=worklist_used,
-                                rerank_extra=rerank_extra_used, pool=True)
+                                rerank_extra=rerank_extra_used, pool=True,
+                                pair=pair_used)
         print(f"# pallas_pool: {tpool:.3f}s recall {rpool:.4f}",
               file=sys.stderr, flush=True)
         if rpool >= RECALL_GATE and tpool < t_search:
@@ -440,7 +463,7 @@ def main():
             pallas_qc=PALLAS_QC, pallas_mc=1024, int8_queries=True,
             rerank_dtype=rerank_dtype_used, probe_mass=probe_mass_used,
             pallas_worklist=worklist_used, rerank_extra=rerank_extra_used,
-            pallas_pool=pool_used)
+            pallas_pool=pool_used, pallas_pair=pair_used)
         batches = [(q_nav, q_search, q_host)] * STREAM_BATCHES
         s_ids = None
         for _ in range(2):  # second pass is the warm/steady measurement
@@ -524,6 +547,7 @@ def main():
         "probe_mass": probe_mass_used,
         "pallas_worklist": worklist_used,
         "pallas_pool": pool_used,
+        "pallas_pair": pair_used,
         "ref_search_s_10M": REF_SEARCH_S,
         "ref_build_s_10M": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),
