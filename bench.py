@@ -130,9 +130,10 @@ def main():
     from tpulmi.utils.config import SearchConfig
 
     def run_once(probes, fetch_dtype=None, probe_mass=None, worklist=False,
-                 warm=False):
+                 pair=False, warm=False):
         scfg = SearchConfig(k=K, n_buckets=probes, fetch_dtype=fetch_dtype,
-                            probe_mass=probe_mass, pallas_worklist=worklist)
+                            probe_mass=probe_mass, pallas_worklist=worklist,
+                            pallas_pair=pair)
         if warm:  # pays the budget's compile before the timed run
             li.search(q_nav, q_search, n_buckets=probes, k=K,
                       search_config=scfg)
@@ -178,10 +179,11 @@ def main():
     STREAM_BATCHES = 16  # deep enough that startup/drain edges amortize
     STREAM_DEPTH = 3
 
-    def run_stream(fetch_dtype=None, probe_mass=None, worklist=False):
+    def run_stream(fetch_dtype=None, probe_mass=None, worklist=False,
+                   pair=False):
         scfg = SearchConfig(k=K, n_buckets=probes_used,
                             fetch_dtype=fetch_dtype, probe_mass=probe_mass,
-                            pallas_worklist=worklist)
+                            pallas_worklist=worklist, pallas_pair=pair)
         batches = [(q_nav, q_search)] * STREAM_BATCHES
         s_ids = None
         for _ in range(2):  # second pass is the warm/steady measurement
@@ -208,14 +210,15 @@ def main():
     #  - pallas_worklist removes the dense grid's skew steps;
     #  - probe_mass lets routed-mass-confident queries drop tail probes (the
     #    flat router's softmax IS a probability here).
-    fetch_used, mass_used, wl_used = None, None, False
+    fetch_used, mass_used, wl_used, pair_used = None, None, False, False
     for name, kw in (
         ("fetch_f16", {"fetch_dtype": "float16"}),
         ("worklist", {"worklist": True}),
+        ("pair", {"pair": True}),
         ("probe_mass", {"probe_mass": 0.95}),
     ):
         trial = {"fetch_dtype": fetch_used, "probe_mass": mass_used,
-                 "worklist": wl_used, **kw}
+                 "worklist": wl_used, "pair": pair_used, **kw}
         try:
             tb, s_ids = run_stream(**trial)
         except Exception as e:  # noqa: BLE001 — A/Bs are best-effort
@@ -232,17 +235,19 @@ def main():
             fetch_used = trial["fetch_dtype"]
             mass_used = trial["probe_mass"]
             wl_used = trial["worklist"]
+            pair_used = trial["pair"]
             recall = r
     sustained_qps = N_QUERIES / t_batch
 
     # re-measure the single call at the final adopted config so the
     # single-call and sustained rows describe the same configuration
-    if fetch_used or mass_used or wl_used:
+    if fetch_used or mass_used or wl_used or pair_used:
         t_search, ids = run_once(probes_used, fetch_dtype=fetch_used,
                                  probe_mass=mass_used, worklist=wl_used,
-                                 warm=True)
+                                 pair=pair_used, warm=True)
         t2, _ = run_once(probes_used, fetch_dtype=fetch_used,
-                         probe_mass=mass_used, worklist=wl_used)
+                         probe_mass=mass_used, worklist=wl_used,
+                         pair=pair_used)
         t_search = min(t_search, t2)
         recall = _recall(ids)
         qps = N_QUERIES / t_search
@@ -261,7 +266,8 @@ def main():
         scfg_dev = SearchConfig(k=K, n_buckets=probes_used,
                                 fetch_dtype=fetch_used,
                                 probe_mass=mass_used,
-                                pallas_worklist=wl_used)
+                                pallas_worklist=wl_used,
+                                pallas_pair=pair_used)
         plan_dev = li._plan_search(q_nav, probes_used, K, scfg_dev)
         program_dev = li._dispatch_program(plan_dev, probes_used, scfg_dev)
         args_dev = (li.built.classifier.params, q_nav, q_search,
@@ -324,6 +330,7 @@ def main():
         "fetch_dtype": fetch_used,
         "probe_mass": mass_used,
         "pallas_worklist": wl_used,
+        "pallas_pair": pair_used,
         "stream_batches": STREAM_BATCHES,
         "stream_depth": STREAM_DEPTH,
         "build_s": round(t_build, 2),
