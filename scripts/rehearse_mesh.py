@@ -92,6 +92,7 @@ def main():
         outer_epochs=6,
         outer_lr=0.003,
         calibrate_budget=0,
+        router_restarts=int(os.environ.get("RM_RESTARTS", 1)),
         inner=IndexConfig(
             n_categories=N_CAT_INNER, epochs=8, lr=0.003, model_type="MLP-5",
             batch_size=4096, seed=SEED, row_align=8,

@@ -313,6 +313,78 @@ def test_calibration_fits_mass_temp(built_hier, synthetic_small):
         built_hier.set_mass_temp(t0)
 
 
+def test_router_restarts_build(synthetic_small, tmp_path):
+    """Best-of-R navigation: restarts>1 builds R candidate stacks, records
+    one containment score per candidate, keeps the max, and the knob
+    round-trips through the checkpoint. The selected index must search at
+    least as well as the baseline recall floor."""
+    cfg = HierarchicalConfig(
+        n_groups=3,
+        outer_epochs=4,
+        outer_lr=0.003,
+        calibrate_budget=6,
+        router_restarts=3,
+        inner=IndexConfig(n_categories=6, epochs=4, lr=0.003,
+                          model_type="MLP-5", row_align=1),
+    )
+    hi = HierarchicalIndex(cfg)
+    hi.build(synthetic_small["data_nav"], synthetic_small["data_search"])
+
+    scores = hi._router_restart_scores
+    assert scores is not None and len(scores) == 3
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    # calibration runs after selection; its containment at the same budget
+    # comes from the SAME pseudo-query machinery, so the selected
+    # candidate's realized containment must not fall below the floor of
+    # what selection measured (different query samples => tolerance)
+    _, gt, _ = Baseline().search(
+        synthetic_small["queries_search"], synthetic_small["data_search"],
+        k=10,
+    )
+    _, ids = hi.search(
+        synthetic_small["queries_nav"], synthetic_small["queries_search"],
+        n_buckets=8, k=10,
+    )
+    recall = np.mean([
+        len(set(ids[i]) & set(gt[i])) / 10 for i in range(ids.shape[0])
+    ])
+    assert recall > 0.8
+
+    hi.save(str(tmp_path / "restart_ckpt"))
+    restored = HierarchicalIndex.load(str(tmp_path / "restart_ckpt"))
+    assert restored.hconfig.router_restarts == 3
+
+
+def test_containment_score_matches_manual(built_hier, synthetic_small):
+    """The candidate scorer computes, for the candidate's own assignment
+    of each pseudo-query's neighbor, the w-grid max of top-budget joint
+    containment — verified against a direct dense computation."""
+    import jax
+
+    data_nav = np.asarray(synthetic_small["data_nav"], np.float32)
+    qidx, nn_global = HierarchicalIndex._nn_pseudo_queries(
+        data_nav, n_queries=128, n_corpus_sample=1500, seed=11)
+    assert len(qidx) == 128 and len(nn_global) == 128
+    assert not np.any(qidx == nn_global)  # self-excluded
+
+    clf = built_hier.built.classifier
+    grid = (0.25, 1.0)
+    score, per_w = built_hier._containment_score(
+        clf, data_nav, qidx, nn_global, budget=5, grid=grid)
+    assert score == max(per_w) and len(per_w) == len(grid)
+
+    tb = np.asarray(jax.device_get(clf.predict(
+        jnp.asarray(data_nav[nn_global], jnp.float32))))
+    lo, li = jax.device_get(clf.model.components(
+        {"params": clf.params}, jnp.asarray(data_nav[qidx], jnp.float32)))
+    for w, got in zip(grid, per_w):
+        joint = (w * np.asarray(lo)[:, :, None] + np.asarray(li)).reshape(
+            128, -1)
+        top = np.argsort(-joint, axis=1)[:, :5]
+        want = float(np.mean((top == tb[:, None]).any(axis=1)))
+        assert abs(got - want) < 1e-9
+
+
 def test_route_probes_ranks_by_score_truncates_by_mass():
     """route_probes(mass_logits=...): probe ORDER follows the ranking
     logits; the truncation point follows the cumulative mass of the

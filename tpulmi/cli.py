@@ -67,6 +67,7 @@ def run(
     pallas_extract: str = "group",
     pallas_pair: bool = False,
     fetch_dtype: str = "",
+    router_restarts: int = 1,
 ):
     """Run build + search over each probe budget, writing SISAP result files
     (mirrors the reference's `run`, `search/search.py:23-166`)."""
@@ -131,6 +132,7 @@ def run(
 
         li = HierarchicalIndex(HierarchicalConfig(
             n_groups=hierarchical_groups, inner=cfg,
+            router_restarts=max(1, router_restarts),
         ))
     else:
         li = LearnedIndex(cfg)
@@ -303,6 +305,13 @@ def main(argv=None):
                              "dtype on device (ids and ranking unchanged; "
                              "halves the per-batch result download on "
                              "host-link-bound serving paths)")
+    parser.add_argument("--router-restarts", default=1, type=int,
+                        help="Build the hierarchical navigation stack this "
+                             "many times under distinct seeds and keep the "
+                             "candidate with the best pseudo-query "
+                             "containment (recall at a fixed probe budget "
+                             "varies ~±0.01 across rebuilds; selection "
+                             "keeps the upper tail). 1 = off")
     parser.add_argument("--pallas-extract", default="group",
                         choices=["group", "group2", "scalar"],
                         help="Probe-kernel top-k maintenance: 'group' "
@@ -342,6 +351,7 @@ def main(argv=None):
         pallas_extract=args.pallas_extract,
         pallas_pair=args.pallas_pair,
         fetch_dtype=args.fetch_dtype,
+        router_restarts=args.router_restarts,
     )
 
 
