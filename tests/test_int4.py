@@ -47,17 +47,37 @@ def test_host_quantizer_matches_device(rng):
 
 
 def test_int4_reconstruction_error(rng):
-    """Dequantized rows approximate the source: values under the clip are
-    within half a step (s/14); clipped outliers within (1-clip)*max|x|."""
+    """Dequantized rows approximate the source: values under the row's
+    (adaptively chosen) clip are within half a step (s/14); clipped
+    outliers within (1-clip)*max|x|."""
     x = _unit(rng, 300, 256)
     packed, s = quantize_rows_int4(x)
     back = np.asarray(unpack_int4(packed)).astype(np.float32) * (
         np.asarray(s) / 7.0)[:, None]
     err = np.abs(back - x)
     maxabs = np.abs(x).max(axis=1, keepdims=True)
-    bound = np.maximum((1 - INT4_CLIP) * maxabs,
-                       (INT4_CLIP * maxabs) / 14.0) + 1e-6
+    clip_eff = np.asarray(s)[:, None] / maxabs   # the per-row chosen clip
+    bound = np.maximum((1 - clip_eff) * maxabs,
+                       (clip_eff * maxabs) / 14.0) + 1e-6
     assert (err <= bound).all()
+
+
+def test_int4_adaptive_clip_beats_fixed(rng):
+    """The per-row clip-grid pick never reconstructs worse than the old
+    fixed clip (0.85 is ON the grid, so per-row squared error is ≤ by
+    construction), and strictly wins on a meaningful fraction of rows."""
+    x = _unit(rng, 400, 768)
+    packed, s = quantize_rows_int4(x)
+    back = np.asarray(unpack_int4(packed)).astype(np.float32) * (
+        np.asarray(s) / 7.0)[:, None]
+    err_adaptive = ((back - x) ** 2).sum(axis=1)
+
+    s_fixed = np.maximum(np.abs(x).max(axis=1) * INT4_CLIP, 1e-12)
+    q = np.clip(np.rint(x / s_fixed[:, None] * 7.0), -8, 7)
+    err_fixed = ((q * (s_fixed / 7.0)[:, None] - x) ** 2).sum(axis=1)
+
+    assert (err_adaptive <= err_fixed + 1e-9).all()
+    assert (err_adaptive < err_fixed - 1e-9).mean() > 0.3
 
 
 def test_int4_topk_candidate_recall(rng):
