@@ -27,6 +27,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
 
 import jax  # noqa: E402
 
+# AB4_CPU=1 runs on the CPU backend (smoke tests). NOTE: the env var
+# JAX_PLATFORMS=cpu is NOT sufficient in this environment — sitecustomize
+# force-selects the TPU via jax.config (NOTES.md rule 6), and a "CPU"
+# smoke test silently claiming the TPU wedges any running bench (rule 8,
+# observed 2026-08-20). Only an in-process jax.config override works.
+if os.environ.get("AB4_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
