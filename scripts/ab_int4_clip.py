@@ -81,9 +81,16 @@ def main():
         os.makedirs(CACHE, exist_ok=True)
         np.savez_compressed(gt_path, ids=gt)
 
+    # row_align=1024 keeps the store Pallas-eligible (backend="auto" then
+    # runs the fused kernel on TPU — the serving configuration); ~6%
+    # padding at 120 buckets. AB4_POOL=1 adds the kernel rerank-pool rung
+    # (pallas_pool): at 40M it was 26% faster but depth-capped below the
+    # OLD quantizer's needs (recall 0.8773, BENCH_40M.md) — the adaptive
+    # clip may put it back over the gate.
+    pool_ab = bool(os.environ.get("AB4_POOL"))
     li = LearnedIndex(IndexConfig(
         n_categories=N_CAT, epochs=8, lr=0.003, model_type="MLP-5",
-        batch_size=4096, seed=SEED))
+        batch_size=4096, seed=SEED, row_align=1024))
     t0 = time.perf_counter()
     li.build(ds["data_nav"], ds["data_search"])
     t_build = time.perf_counter() - t0
@@ -95,19 +102,28 @@ def main():
 
     q_host = np.ascontiguousarray(ds["queries_search"], np.float32)
     grid = {}
+
+    def run(probes, extra, pool=False):
+        scfg = SearchConfig(k=K, n_buckets=probes, rerank_extra=extra,
+                            pallas_pool=pool)
+        _, ids = li.search(ds["queries_nav"], ds["queries_search"],
+                           n_buckets=probes, k=K, search_config=scfg,
+                           queries_search_host=q_host)
+        recall = float(np.mean([
+            len(set(ids[i]) & set(gt[i])) / K
+            for i in range(ids.shape[0])
+        ]))
+        tag = f"p{probes}_x{extra}" + ("_pool" if pool else "")
+        grid[tag] = round(recall, 4)
+        print(f"# probes={probes} extra={extra} pool={pool} "
+              f"recall={recall:.4f}", file=sys.stderr, flush=True)
+
     for probes in PROBES:
         for extra in EXTRAS:
-            scfg = SearchConfig(k=K, n_buckets=probes, rerank_extra=extra)
-            _, ids = li.search(ds["queries_nav"], ds["queries_search"],
-                               n_buckets=probes, k=K, search_config=scfg,
-                               queries_search_host=q_host)
-            recall = float(np.mean([
-                len(set(ids[i]) & set(gt[i])) / K
-                for i in range(ids.shape[0])
-            ]))
-            grid[f"p{probes}_x{extra}"] = round(recall, 4)
-            print(f"# probes={probes} extra={extra} recall={recall:.4f}",
-                  file=sys.stderr, flush=True)
+            run(probes, extra)
+    if pool_ab:
+        for extra in EXTRAS[:3]:
+            run(PROBES[-1], extra, pool=True)
 
     print(json.dumps({
         "variant": variant, "n": N, "queries": N_QUERIES,
