@@ -145,6 +145,7 @@ def main():
     # ---- recall-gated probe sweep (ascending: first gated = fastest) ----
     sweep = []
     probes_used = t_search = recall = ids = None
+    recall_base = None
     ref_point = None  # the reference's own 7-probe operating shape
     for probes in PROBE_SWEEP:
         t, p_ids = run_once(probes, warm=True)
@@ -167,6 +168,7 @@ def main():
     if probes_used is None:  # nothing cleared the gate: report the deepest
         probes_used, t_search = REF_PROBES, sweep[-1]["search_s"]
         recall, ids = sweep[-1]["recall_at_10"], p_ids
+    recall_base = recall
     qps = N_QUERIES / t_search
 
     # Sustained serving throughput: the double-buffered pipeline
@@ -239,20 +241,35 @@ def main():
             recall = r
     sustained_qps = N_QUERIES / t_batch
 
-    # re-measure the single call at the final adopted config so the
-    # single-call and sustained rows describe the same configuration
+    # The single-call and sustained rows each carry their own best
+    # recall-gated config. The adopt-on-win loop above optimizes SUSTAINED
+    # wall; round 4 then re-measured the single call at that adopted
+    # config and reported it even when it lost (152.0k -> 113.5k QPS,
+    # BENCH_r03 vs r04) — here the sweep's base-config single call stands
+    # unless the adopted config beats it at the gate.
+    single_fetch, single_mass, single_wl, single_pair = None, None, False, \
+        False
+    single_recall = recall_base
     if fetch_used or mass_used or wl_used or pair_used:
-        t_search, ids = run_once(probes_used, fetch_dtype=fetch_used,
-                                 probe_mass=mass_used, worklist=wl_used,
-                                 pair=pair_used, warm=True)
+        t_try, ids_try = run_once(probes_used, fetch_dtype=fetch_used,
+                                  probe_mass=mass_used, worklist=wl_used,
+                                  pair=pair_used, warm=True)
         t2, _ = run_once(probes_used, fetch_dtype=fetch_used,
                          probe_mass=mass_used, worklist=wl_used,
                          pair=pair_used)
-        t_search = min(t_search, t2)
-        recall = _recall(ids)
-        qps = N_QUERIES / t_search
+        t_try = min(t_try, t2)
+        r_try = _recall(ids_try)
+        print(f"# single-call at sustained config: {t_try:.4f}s recall "
+              f"{r_try:.4f} (base {t_search:.4f}s)", file=sys.stderr,
+              flush=True)
+        if r_try >= RECALL_GATE and t_try < t_search:
+            t_search, ids, single_recall = t_try, ids_try, r_try
+            single_fetch, single_mass = fetch_used, mass_used
+            single_wl, single_pair = wl_used, pair_used
+            qps = N_QUERIES / t_search
     if sustained_qps < qps:
         sustained_qps = qps  # pipeline failed to help; keep single-call
+        recall = single_recall
 
     # ---- device-only probe time (kbench-style): dispatch the compiled
     # search program back-to-back so the relay round trip amortizes over
@@ -323,14 +340,21 @@ def main():
         "vs_baseline": round(sustained_qps / REF_QPS, 2) if ok else 0.0,
         "recall_at_10": round(recall, 4),
         "single_call_qps": round(qps, 1),
+        "single_call_recall": round(single_recall, 4),
         "search_s_10k_queries": round(t_search, 4),
         "n_probes": probes_used,
         "probe_sweep": sweep,
         "ref_shape_bp6": ref_point,
+        # sustained-row config (the adopt-on-win loop's winner) ...
         "fetch_dtype": fetch_used,
         "probe_mass": mass_used,
         "pallas_worklist": wl_used,
         "pallas_pair": pair_used,
+        # ... and the single-call row's own config (decoupled; round-4's
+        # shared config cost the single-call row 26%)
+        "single_call_config": {
+            "fetch_dtype": single_fetch, "probe_mass": single_mass,
+            "pallas_worklist": single_wl, "pallas_pair": single_pair},
         "stream_batches": STREAM_BATCHES,
         "stream_depth": STREAM_DEPTH,
         "build_s": round(t_build, 2),

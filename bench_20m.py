@@ -37,24 +37,24 @@ from tpulmi.hierarchical import HierarchicalConfig, HierarchicalIndex  # noqa: E
 from tpulmi.utils.config import IndexConfig, SearchConfig  # noqa: E402
 
 # Scale knobs (bench_40m.py re-drives this harness at 40M/int4; the
-# defaults are the measured 20M configuration)
-N = int(os.environ.get("B20_N", 20_000_000))
+# defaults are the measured 20M configuration). All B20_* env reads live
+# in `_configure()`, called at the top of `main()` — drivers like
+# bench_40m set the env and call main() without import-order coupling.
+N = 20_000_000
 N_QUERIES = 10_000
 D_NAV = 96
 D_SEARCH = 768
-N_GROUPS = int(os.environ.get("B20_GROUPS", 8))
+N_GROUPS = 8
 # 8 x 61 = 488 global buckets (~41k rows each at 20M); 40M keeps the
 # measured ~41k bucket geometry by doubling the groups instead
-N_CAT_INNER = int(os.environ.get("B20_INNER", 61))
-DATA_CLUSTERS = int(os.environ.get("B20_CLUSTERS", 244))
+N_CAT_INNER = 61
+DATA_CLUSTERS = 244
 # Global probe budgets under the joint router, swept upward until the
 # recall gate clears. Round 2 (uncalibrated, w=1) needed 48 probes for
 # 0.905; round 3 calibrates the outer temperature against true-neighbor
 # containment (hierarchical.calibrate_outer_weight) targeting the
 # VERDICT goal of >=0.90 at <=24 probes, so the sweep starts lower.
-PROBE_SWEEP = tuple(
-    int(p) for p in os.environ.get("B20_SWEEP", "6,8,12,16,24,32,48")
-    .split(","))
+PROBE_SWEEP = (6, 8, 12, 16, 24, 32, 48)
 # probe_mass on the calibrated router: probes are RANKED by the
 # calibrated score (w·logP(g)+logP(b|g), w≈0.25) but the truncation mass
 # is drawn from the TRUE joint probability (search.routing_logits) —
@@ -78,10 +78,10 @@ CACHE = ".bench_cache"
 # vs int8's 15.4 — the capacity rung toward ~40M rows/chip). int4's ~4e-3
 # cosine error needs a deeper exact-rerank pool (tpulmi/ops/quantize.py),
 # so the base depth and the shallower-depth A/B shift accordingly.
-STORE_DTYPE = os.environ.get("B20_DTYPE", "int8")
-ELEM_BYTES = 0.5 if STORE_DTYPE == "int4" else 1
-RR_BASE = 30 if STORE_DTYPE == "int4" else 10
-RR_AB = (20, 14) if STORE_DTYPE == "int4" else (6, 4)
+STORE_DTYPE = "int8"
+ELEM_BYTES = 1
+RR_BASE = 10
+RR_AB = (6, 4)
 # Depth-escalation ladder for when the probe sweep SATURATES below the
 # recall gate: int4's quantized top-(k+extra) candidate cut is a
 # probe-independent recall ceiling (measured at 40M/24 probes: router
@@ -89,21 +89,44 @@ RR_AB = (20, 14) if STORE_DTYPE == "int4" else (6, 4)
 # probes at depth 30 — the true neighbor falls below the quantized cut,
 # which no probe budget can recover; same signature NOTES.md measured at
 # 1M, where depth 30/60 lifted the plateau 0.867 -> 0.97/0.99).
-RR_UP = tuple(int(x) for x in os.environ.get(
-    "B20_EXTRA_UP", "60,100" if STORE_DTYPE == "int4" else "").split(",")
-    if x)
+RR_UP = ()
 # Best-of-R navigation stacks (B20_RESTARTS=2+): re-run the outer+inner
 # router builds under distinct seeds and keep the candidate with the best
 # pseudo-query containment (NOTES.md round-4: a 20M rebuild landed 0.8993
 # at the 8-probe budget round 3 cleared at 0.9105 — pure seed variance;
 # selection keeps the upper tail for ~one extra nav stage per candidate).
-ROUTER_RESTARTS = int(os.environ.get("B20_RESTARTS", 1))
+ROUTER_RESTARTS = 1
 # Kernel query-block size. 192 is the kbench optimum at the 488-bucket 20M
 # shape, but the per-slot device buffers (query tiles + (qc, 128) output
 # tiles) carry an n_cat*qc alignment floor — at 40M/976 buckets the store
 # alone is ~16.07 GB of the ~16.5 GB chip, so bench_40m drops to qc=128 to
 # shrink that floor (976*192*1.8KB ≈ 340 MB -> 225 MB).
-PALLAS_QC = int(os.environ.get("B20_QC", 192))
+PALLAS_QC = 192
+
+
+def _configure():
+    """(Re)read every B20_* knob from the environment into the module
+    globals. Runs at the top of main(), so a driver (bench_40m.py) can set
+    the env at any point before CALLING main() — no import-order coupling."""
+    global N, N_GROUPS, N_CAT_INNER, DATA_CLUSTERS, PROBE_SWEEP
+    global STORE_DTYPE, ELEM_BYTES, RR_BASE, RR_AB, RR_UP
+    global ROUTER_RESTARTS, PALLAS_QC
+    env = os.environ
+    N = int(env.get("B20_N", 20_000_000))
+    N_GROUPS = int(env.get("B20_GROUPS", 8))
+    N_CAT_INNER = int(env.get("B20_INNER", 61))
+    DATA_CLUSTERS = int(env.get("B20_CLUSTERS", 244))
+    PROBE_SWEEP = tuple(
+        int(p) for p in env.get("B20_SWEEP", "6,8,12,16,24,32,48").split(","))
+    STORE_DTYPE = env.get("B20_DTYPE", "int8")
+    ELEM_BYTES = 0.5 if STORE_DTYPE == "int4" else 1
+    RR_BASE = 30 if STORE_DTYPE == "int4" else 10
+    RR_AB = (20, 14) if STORE_DTYPE == "int4" else (6, 4)
+    RR_UP = tuple(int(x) for x in env.get(
+        "B20_EXTRA_UP", "60,100" if STORE_DTYPE == "int4" else "").split(",")
+        if x)
+    ROUTER_RESTARTS = int(env.get("B20_RESTARTS", 1))
+    PALLAS_QC = int(env.get("B20_QC", 192))
 
 
 def _ground_truth(ds):
@@ -126,6 +149,7 @@ def _ground_truth(ds):
 
 
 def main():
+    _configure()
     from tpulmi.utils.backend_retry import ensure_backend
     ensure_backend()
     t_gen = time.perf_counter()

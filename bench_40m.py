@@ -41,7 +41,7 @@ os.environ.setdefault("B20_BQ", "2500")
 # rerank instead.
 os.environ.setdefault("B20_SWEEP", "16,20,24")
 
-import bench_20m  # noqa: E402  (reads the env at import)
+import bench_20m  # noqa: E402  (env is read inside main(), not at import)
 
 if __name__ == "__main__":
     try:

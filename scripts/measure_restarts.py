@@ -78,7 +78,11 @@ def main():
     # rank correlation between the selector and the measured recall
     rank_s = np.argsort(np.argsort(scores))
     rank_r = np.argsort(np.argsort(recalls))
-    tau = float(np.corrcoef(rank_s, rank_r)[0, 1]) if n_seeds > 2 else None
+    # zero variance on either side makes corrcoef NaN (invalid JSON) —
+    # report None instead
+    degenerate = np.std(scores) == 0 or np.std(recalls) == 0
+    tau = (float(np.corrcoef(rank_s, rank_r)[0, 1])
+           if n_seeds > 2 and not degenerate else None)
     out = {
         "n": n, "budget": budget, "seeds": n_seeds,
         "candidates": rows,

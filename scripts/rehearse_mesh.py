@@ -1,24 +1,36 @@
-"""100M-configuration rehearsal on the virtual 8-device mesh, at 1M rows.
+"""100M-density rehearsal on the virtual 8-device mesh.
 
 The v5e-8 100M story (docs/SCALING.md §4) rests on two measured rungs —
-20M/40M on one real chip — plus `dryrun_multichip`, which validates the
-multi-chip program shapes at 1024 rows. This script closes the gap between
-"compiles and runs" and "achieves the recall contract" for the SHARDED
-configuration itself: the full 100M topology (hierarchical router, one
-contiguous group-range per device, packed-int4 per-shard host-store upload,
-calibrated outer router, exact host rerank) is built and searched on an
-8-virtual-device CPU mesh at 1M rows — large enough for recall statistics
-to mean something — and gated at the same recall >= 0.90 the real-chip
-benches use.
+20M/40M on one real chip — plus `dryrun_multichip` (1024 rows) and the
+round-4 1M/120-bucket rehearsal. Round 4's gap (VERDICT missing #2): that
+rehearsal ran ~8.3k rows/bucket while 100M/976 is ~102k rows/bucket — an
+order of magnitude off in every per-shard shape. This script closes it by
+rehearsing the topology at the TRUE densities, scaled down in bucket COUNT
+instead of bucket SIZE:
 
-Mirrors the reference's recall evaluation contract
+- ~102k rows/bucket and ~205k rows/cluster (100M: 976 buckets over 488
+  natural clusters; here N/102k buckets over N/205k clusters — the same
+  2 buckets/cluster geometry the measured 40M rung uses);
+- hierarchical router, one contiguous group-range per mesh device,
+  per-shard packed-int4 host-store upload, calibrated outer weight, exact
+  host rerank — the exact v5e-8 serving stack;
+- the sharded Pallas kernel (interpret mode on CPU) validated at the
+  100k-row bucket shape (≈100 chunk-steps per query block — the deepest
+  accumulator carry any rung exercises) against the XLA sharded backend;
+- the dispatch-ahead sharded `search_stream` checked for result parity;
+- a per-shard byte audit anchored to the measured 40M single-chip store,
+  extrapolated to the 100M/8-shard configuration.
+
+Gated at the same recall >= 0.90 the real-chip benches use. Mirrors the
+reference's recall evaluation contract
 (`/root/reference/search/search.py:144-167`) on the multi-chip path the
 reference does not have. Run:
 
-    python scripts/rehearse_mesh.py
+    python scripts/rehearse_mesh.py           # ~1-1.5 h on one CPU core
 
 (forces JAX_PLATFORMS=cpu + 8 virtual host devices internally; safe to run
-while a real-chip bench owns the TPU tunnel).
+while a real-chip bench owns the TPU tunnel — but it is CPU-hungry, so
+don't overlap it with a bench's TIMED phases on a one-core host).
 """
 import json
 import os
@@ -39,21 +51,23 @@ jax.config.update("jax_platforms", "cpu")  # sitecustomize force-selects axon
 
 import numpy as np  # noqa: E402
 
-N = int(os.environ.get("RM_N", 1_000_000))
+N = int(os.environ.get("RM_N", 4_000_000))
 N_QUERIES = int(os.environ.get("RM_Q", 1000))
 K = 10
 N_GROUPS = 8              # one group-range per mesh device, as at 100M
-# 120 global buckets ~ the corpus's 122 natural clusters (the real-chip
-# benches keep buckets/clusters ~1:1: 488/488 at 20M/40M). NOTE the probe-
-# independent recall plateau this rehearsal first surfaced (0.853-0.866 at
-# ANY probe budget, flat or hierarchical) was int4 candidate depth, not
-# routing: rerank_extra=10 left true neighbors outside the quantized
-# top-(k+10) cut. SearchConfig.rerank_extra=None now resolves to 30 on
-# int4 stores, which this script exercises.
-N_CAT_INNER = int(os.environ.get("RM_INNER", 15))
+# 100M-density scaling: ~102k rows/bucket (100M/976), ~205k rows/cluster
+# (100M/488) — identical per-bucket and per-cluster sizes to the target,
+# fewer of them. 4M -> 40 buckets (8 groups x 5) over 20 clusters.
+ROWS_PER_BUCKET = int(os.environ.get("RM_RPB", 102_000))
+ROWS_PER_CLUSTER = int(os.environ.get("RM_RPC", 205_000))
+N_CAT_INNER = max(N // ROWS_PER_BUCKET // N_GROUPS, 2)
+N_CLUSTERS = max(N // ROWS_PER_CLUSTER, 4)
 SEED = 2023
 CACHE = os.environ.get("RM_CACHE", ".bench_cache")
 RECALL_GATE = 0.90
+# measured single-chip 40M anchor (BENCH_40M.md): packed-int4 store +
+# scales + ids for 40.9M padded rows on one 16 GB chip
+ANCHOR_40M_ROWS = 40_000_000
 
 
 def main():
@@ -66,16 +80,21 @@ def main():
     from tpulmi.data import synthetic_dataset_big
 
     assert len(jax.devices()) == 8, jax.devices()
+    n_buckets_global = N_GROUPS * N_CAT_INNER
+    print(f"# topology: {N} rows, {N_GROUPS}x{N_CAT_INNER} = "
+          f"{n_buckets_global} buckets (~{N // n_buckets_global} rows each) "
+          f"over {N_CLUSTERS} clusters", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     ds = synthetic_dataset_big(
         n=N, n_queries=max(N_QUERIES, 1000), d_nav=96, d_search=768,
-        n_clusters=122, seed=SEED, cache_dir=CACHE,
+        n_clusters=N_CLUSTERS, seed=SEED, cache_dir=CACHE,
     )
     qn = np.asarray(ds["queries_nav"][:N_QUERIES], np.float32)
     qs = np.asarray(ds["queries_search"][:N_QUERIES], np.float32)
     t_gen = time.perf_counter() - t0
 
-    gt_path = os.path.join(CACHE, f"gt_rehearse_n{N}_q{N_QUERIES}.npz")
+    gt_path = os.path.join(
+        CACHE, f"gt_rehearse_n{N}_c{N_CLUSTERS}_q{N_QUERIES}.npz")
     if os.path.exists(gt_path):
         gt_ids = np.load(gt_path)["ids"]
     else:
@@ -95,7 +114,11 @@ def main():
         router_restarts=int(os.environ.get("RM_RESTARTS", 1)),
         inner=IndexConfig(
             n_categories=N_CAT_INNER, epochs=8, lr=0.003, model_type="MLP-5",
-            batch_size=4096, seed=SEED, row_align=8,
+            batch_size=4096, seed=SEED,
+            # the real kernel alignment (Pallas data block): ~1% padding at
+            # 100k-row buckets, and it keeps every per-shard store
+            # kernel-eligible exactly as the 40M rung is
+            row_align=1024,
         ),
     ))
     t_build = time.perf_counter()
@@ -112,6 +135,25 @@ def main():
     qs_d = jnp.asarray(qs)
     q_host = np.ascontiguousarray(qs, np.float32)
 
+    # ---- per-shard byte audit (the 100M capacity claim, measured) ----
+    sstore, _ = hi._sharded
+    rows_shard = int(sstore.data_sorted.shape[1])
+    d_stored = int(sstore.data_sorted.shape[2])
+    store_b = rows_shard * d_stored          # packed int4 codes
+    scales_b = int(np.prod(sstore.scales.shape[1:])) * 4
+    ids_b = rows_shard * 4
+    per_shard_bytes = store_b + scales_b + ids_b
+    bytes_per_row = per_shard_bytes / rows_shard
+    # 100M on v5e-8: 12.5M rows/shard at the same bytes/row, vs the
+    # measured 40M single-chip point at identical layout
+    shard_100m_gb = 100e6 / 8 * bytes_per_row / 1e9
+    anchor_40m_gb = ANCHOR_40M_ROWS * bytes_per_row / 1e9
+    print(f"# per-shard: {rows_shard} rows, {per_shard_bytes/1e9:.3f} GB "
+          f"({bytes_per_row:.1f} B/row) -> 100M/8 = {shard_100m_gb:.2f} GB/"
+          f"shard; 40M single-chip anchor = {anchor_40m_gb:.2f} GB",
+          file=sys.stderr, flush=True)
+
+    # ---- recall sweep on the sharded XLA backend (full query set) ----
     sweep = []
     headline = None
     for probes in (2, 4, 6, 8, 12):
@@ -128,24 +170,113 @@ def main():
               file=sys.stderr, flush=True)
         if recall >= RECALL_GATE and headline is None:
             headline = (probes, recall)
+            break  # CPU minutes per budget; the gate point is the result
     ok = headline is not None
+    gate_probes = headline[0] if ok else sweep[-1]["probes"]
+
+    # ---- dispatch-ahead sharded stream: result parity with search ----
+    stream_ok = None
+    try:
+        scfg = SearchConfig(k=K, n_buckets=gate_probes, backend="xla")
+        _, want = hi.search(qn_d, qs_d, n_buckets=gate_probes, k=K,
+                            search_config=scfg, queries_search_host=q_host)
+        got = None
+        for _, got in hi.search_stream(
+                [(qn_d, qs_d, q_host)] * 2, n_buckets=gate_probes, k=K,
+                search_config=scfg, depth=2):
+            pass
+        stream_ok = bool(np.array_equal(got, want))
+    except Exception as e:  # noqa: BLE001
+        print(f"# stream parity failed: {e}", file=sys.stderr, flush=True)
+        stream_ok = False
+    print(f"# dispatch-ahead stream parity: {stream_ok}", file=sys.stderr,
+          flush=True)
+
+    # ---- sharded Pallas kernel at the 100k-row bucket shape ----
+    # interpret mode on CPU is slow, so a micro query batch: what matters
+    # is the kernel running the TRUE per-shard geometry — ~100 chunk-steps
+    # per query block (102k-row buckets / mc=1024), int8 query tiles,
+    # packed int4 unpack — and agreeing with the XLA sharded backend.
+    pallas_ok = None
+    wl_40m_items = qpb_pad_used = None
+    try:
+        mq = int(os.environ.get("RM_PALLAS_Q", 32))
+        scfg_p = SearchConfig(k=K, n_buckets=2, backend="pallas",
+                              pallas_qc=96, pallas_mc=1024,
+                              int8_queries=True)
+        scfg_x = SearchConfig(k=K, n_buckets=2, backend="xla")
+        t0p = time.perf_counter()
+        _, ids_p = hi.search(qn_d[:mq], qs_d[:mq], n_buckets=2, k=K,
+                             search_config=scfg_p,
+                             queries_search_host=q_host[:mq])
+        t_pal = time.perf_counter() - t0p
+        _, ids_x = hi.search(qn_d[:mq], qs_d[:mq], n_buckets=2, k=K,
+                             search_config=scfg_x,
+                             queries_search_host=q_host[:mq])
+        agree = float(np.mean([
+            len(set(ids_p[i]) & set(ids_x[i])) / K for i in range(mq)
+        ]))
+        # int8 query tiles shift near-ties; the exact rerank re-orders both
+        # candidate pools, so demand near-total agreement, not bit equality
+        pallas_ok = agree >= 0.95
+        print(f"# sharded pallas (interpret, {mq} queries, "
+              f"{t_pal:.0f}s): agreement {agree:.3f}", file=sys.stderr,
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"# sharded pallas micro-dispatch failed: {e}",
+              file=sys.stderr, flush=True)
+        pallas_ok = False
+
+    # ---- pad arithmetic at the TRUE 100M serving shape ----
+    # 10k queries x 16/976 probes on 8 shards: per-shard slots, query
+    # blocks, and the single-chip 40M worklist the chunked kernel must
+    # cover — every term from this rehearsal's measured bucket stats.
+    counts = np.asarray(jax.device_get(hi.built.store.counts))
+    rpb_mean = float(counts.mean())
+    steps_per_bucket = int(np.ceil(counts.max() / 1024))
+    slots_100m = 10_000 * 16
+    slots_per_shard = slots_100m // 8
+    buckets_per_shard = 976 // 8
+    blocks_per_shard = int(np.ceil(slots_per_shard / 96)) + buckets_per_shard
+    wl_shard_items = blocks_per_shard * steps_per_bucket
+    # single-chip 40M (16 probes, 976 buckets, 41k-row buckets -> 41 steps)
+    wl_40m_items = (int(np.ceil(slots_100m / 96)) + 976) * int(
+        np.ceil(41_000 / 1024))
+    from tpulmi.ops.pallas_topk import WL_PAD_MAX, wl_item_cap
+    qpb_pad_used = hi._qpb_pads.get((N_QUERIES, gate_probes))
+
     result = {
-        "metric": "rehearsal_recall_1M_int4_8dev_virtual_mesh",
+        "metric": "rehearsal_recall_100Mdensity_int4_8dev_virtual_mesh",
         "value": round(headline[1], 4) if ok else sweep[-1]["recall_at_10"],
         "unit": "recall@10",
         "n_rows": N,
         "n_queries": N_QUERIES,
         "probes": headline[0] if ok else None,
-        "n_global_buckets": N_GROUPS * N_CAT_INNER,
+        "n_global_buckets": n_buckets_global,
+        "rows_per_bucket_mean": round(rpb_mean),
+        "rows_per_bucket_max": int(counts.max()),
+        "n_clusters": N_CLUSTERS,
         "store": "int4+rerank, one group-range per device",
         "outer_weight": calib["best"],
         "sweep": sweep,
         "build_s": round(t_build, 1),
         "datagen_s": round(t_gen, 1),
-        "ok": ok,
+        "stream_parity": stream_ok,
+        "sharded_pallas_ok": pallas_ok,
+        # capacity + pad audit, every term measured here or at 40M
+        "per_shard_bytes": per_shard_bytes,
+        "bytes_per_row": round(bytes_per_row, 2),
+        "shard_100m_gb": round(shard_100m_gb, 2),
+        "anchor_40m_gb": round(anchor_40m_gb, 2),
+        "qpb_pad_used": qpb_pad_used,
+        "wl_100m_per_shard_items": wl_shard_items,
+        "wl_40m_single_chip_items": wl_40m_items,
+        "wl_chunked_cap": wl_item_cap(steps_per_bucket),
+        "wl_smem_cap_per_dispatch": WL_PAD_MAX,
+        "ok": bool(ok and stream_ok and pallas_ok),
     }
     print(json.dumps(result))
-    return 0 if ok else 1
+    return 0 if result["ok"] else 1
 
 
 if __name__ == "__main__":

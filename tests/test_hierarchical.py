@@ -380,8 +380,13 @@ def test_containment_score_matches_manual(built_hier, synthetic_small):
     for w, got in zip(grid, per_w):
         joint = (w * np.asarray(lo)[:, :, None] + np.asarray(li)).reshape(
             128, -1)
-        top = np.argsort(-joint, axis=1)[:, :5]
-        want = float(np.mean((top == tb[:, None]).any(axis=1)))
+        # tie-insensitive containment: the target bucket is "contained"
+        # when STRICTLY fewer than budget buckets outscore it (an argsort/
+        # argpartition top-5 set can differ from the implementation's on
+        # exact float ties at the boundary; the rank test cannot)
+        tgt = joint[np.arange(128), tb]
+        rank = (joint > tgt[:, None]).sum(axis=1)
+        want = float(np.mean(rank < 5))
         assert abs(got - want) < 1e-9
 
 

@@ -321,9 +321,10 @@ def test_pallas_dump_ids_dropped_worklist(rng):
 
 def test_worklist_smem_cap(rng, monkeypatch):
     """The worklist is a scalar-prefetch SMEM operand: the kernel refuses
-    pads above WL_PAD_MAX, and the facade's estimator falls back to the
-    dense grid (returns 0, caches the disable) instead of crashing the
-    backend — the measured 10M failure mode."""
+    pads above the chunked ceiling (WL_SEGMENTS_MAX segments), and the
+    facade's estimator falls back to the dense grid (returns 0, caches the
+    disable) instead of crashing the backend — the measured 10M failure
+    mode."""
     import tpulmi.ops.pallas_topk as pk
     from tpulmi.index import LearnedIndex
     from tpulmi.utils.config import IndexConfig, SearchConfig
@@ -334,11 +335,12 @@ def test_worklist_smem_cap(rng, monkeypatch):
         [rng.permutation(c)[:3] for _ in range(queries.shape[0])]
     ).astype(np.int32)
     max_bucket = int(np.asarray(store.counts).max())
-    with pytest.raises(ValueError, match="WL_PAD_MAX"):
+    with pytest.raises(ValueError, match="WL_SEGMENTS_MAX"):
         pallas_probe_search(
             jnp.asarray(probes), jnp.asarray(queries), store,
             k=10, qc=128, mc=256, max_chunks=-(-max_bucket // 256),
-            compute_dtype=jnp.float32, wl_pad=pk.WL_PAD_MAX + 1024,
+            compute_dtype=jnp.float32,
+            wl_pad=pk.WL_PAD_MAX * (pk.WL_SEGMENTS_MAX + 2),
             interpret=True,
         )
 
@@ -350,6 +352,7 @@ def test_worklist_smem_cap(rng, monkeypatch):
                                   batch_size=256, row_align=256))
     li.build(nav, dd)
     monkeypatch.setattr(pk, "WL_PAD_MAX", 512)  # below the 1024 floor
+    monkeypatch.setattr(pk, "WL_SEGMENTS_MAX", 1)  # and no chunk escape
     scfg = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
                         pallas_qc=128, pallas_mc=256, pallas_worklist=True)
     base = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
@@ -559,3 +562,190 @@ def test_index_pair_end_to_end(rng):
         d1, i1 = li.search(qn, qs, n_buckets=3, k=5, search_config=pp)
         np.testing.assert_allclose(d1, d0, atol=1e-5)
         np.testing.assert_array_equal(i1, i0)
+
+
+# ---------------------------------------------------------------- VMEM guard
+
+def test_vmem_model_flags_observed_crash_shape():
+    """The paired bf16 grid at the 300K default tiles (qc=512, mc=1024,
+    d=768) overflowed Mosaic's scoped-VMEM budget on hardware (18.40M >
+    16.00M, BENCH_r04.json tail); the model must flag it, and must pass
+    every tiling measured good on hardware (kbench/NOTES.md)."""
+    from tpulmi.ops.pallas_topk import VMEM_LIMIT, estimate_vmem_bytes
+
+    crash = estimate_vmem_bytes(qc=512, mc=1024, d=768, d_stored=768,
+                                q_itemsize=2, data_itemsize=2,
+                                quantized=False, pair=True)
+    assert crash > VMEM_LIMIT
+    good = [
+        # 300K bf16 single-ref default (runs every bench.py session)
+        dict(qc=512, mc=1024, d=768, d_stored=768, q_itemsize=2,
+             data_itemsize=2, quantized=False, pair=False),
+        # 20M int8 x int8 pair (kbench 15.9 ms measured good)
+        dict(qc=192, mc=1024, d=768, d_stored=768, q_itemsize=1,
+             data_itemsize=1, quantized=True, pair=True),
+        # 40M packed-int4 qc=96 (BENCH_40M.md)
+        dict(qc=96, mc=1024, d=768, d_stored=384, q_itemsize=1,
+             data_itemsize=1, quantized=True, pair=False),
+        # int8 mc=2048 single-ref (kbench round-4)
+        dict(qc=192, mc=2048, d=768, d_stored=768, q_itemsize=1,
+             data_itemsize=1, quantized=True, pair=False),
+    ]
+    for kw in good:
+        assert estimate_vmem_bytes(**kw) <= VMEM_LIMIT, kw
+
+
+def test_resolve_tiling_halves_qc_or_declines_pair():
+    from tpulmi.ops.pallas_topk import resolve_tiling
+
+    # crash shape: pair survives at a halved query block
+    pair, qc = resolve_tiling(512, 1024, d=768, d_stored=768, q_itemsize=2,
+                              data_itemsize=2, quantized=False, pair=True)
+    assert pair and qc < 512
+    # bf16 mc=2048 pair survives only at the qc=64 floor
+    pair, qc = resolve_tiling(512, 2048, d=768, d_stored=768, q_itemsize=2,
+                              data_itemsize=2, quantized=False, pair=True)
+    assert pair and qc == 64
+    # f32 mc=2048: the two double-buffered refs alone overflow at every
+    # qc — pair declined outright
+    pair, qc = resolve_tiling(512, 2048, d=768, d_stored=768, q_itemsize=4,
+                              data_itemsize=4, quantized=False, pair=True)
+    assert not pair
+    # an eligible request passes through untouched
+    pair, qc = resolve_tiling(192, 1024, d=768, d_stored=768, q_itemsize=1,
+                              data_itemsize=1, quantized=True, pair=True)
+    assert pair and qc == 192
+
+
+def test_pallas_probe_search_refuses_oversized_tile(rng):
+    """Compiled dispatch (interpret=False) of a tile past the scoped-VMEM
+    budget must be a trace-time ValueError, not a backend crash."""
+    data, queries, labels, store = _setup(rng, n=4000, d=768, c=4, q=64,
+                                          mc=1024)
+    probes = np.zeros((64, 1), np.int32)
+    with pytest.raises(ValueError, match="scoped-VMEM"):
+        pallas_probe_search(
+            jnp.asarray(probes), jnp.asarray(queries), store,
+            k=10, qc=512, mc=1024, max_chunks=4,
+            compute_dtype=jnp.bfloat16, pair=True, interpret=False,
+        )
+
+
+def test_plan_resolves_pair_tiling(rng):
+    """_plan_search re-tiles an ineligible pallas_pair request instead of
+    dispatching it: the bf16 crash shape keeps pair at a halved qc, and a
+    declined shape (mc=2048) falls back to the single-ref grid."""
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    li = LearnedIndex(IndexConfig(n_categories=4))
+    scfg = SearchConfig(pallas_pair=True, pallas_qc=512, pallas_mc=1024,
+                        compute_dtype="bfloat16")
+    pair, qc = li._resolve_pallas_tiling(scfg, d=768, d_stored=768,
+                                         quantized=False)
+    assert pair and qc < 512
+    # f32 mc=2048: the paired refs overflow at every qc — declined
+    scfg2 = SearchConfig(pallas_pair=True, pallas_qc=512, pallas_mc=2048,
+                         compute_dtype=None)
+    pair, qc = li._resolve_pallas_tiling(scfg2, d=768, d_stored=768,
+                                         quantized=False)
+    assert not pair
+    # int8 + int8-queries at the measured-good 20M tiling: untouched
+    scfg3 = SearchConfig(pallas_pair=True, pallas_qc=192, pallas_mc=1024,
+                         int8_queries=True)
+    pair, qc = li._resolve_pallas_tiling(scfg3, d=768, d_stored=768,
+                                         quantized=True)
+    assert pair and qc == 192
+
+
+# ------------------------------------------------------------ chunked worklist
+
+@pytest.mark.parametrize("mode", ["group", "group2"])
+@pytest.mark.parametrize("int8q", [False, True])
+def test_pallas_worklist_chunked_matches_dense(rng, monkeypatch, mode, int8q):
+    """wl_pad above WL_PAD_MAX splits the worklist into block-aligned SMEM
+    segments chained through donated output buffers — results must be
+    identical to the dense grid. WL_PAD_MAX is shrunk so a small workload
+    spans several segments, including all-padding tail segments (their
+    items write the trash block's sentinel tile, never a real one). The
+    int8 variant also exercises the shifted alias indices (the scales
+    input sits between the data refs and the donated buffers)."""
+    import tpulmi.ops.pallas_topk as pk
+    from tpulmi.ops.quantize import quantize_store
+
+    if int8q:
+        # int8 scales arrive (mc/128, 128)-tiled: mc must be 1024
+        n, c, mc = 8000, 3, 1024
+    else:
+        n, c, mc = 2000, 7, 128
+    data, queries, labels, store = _setup(rng, n=n, d=128, c=c, q=64, mc=mc)
+    if int8q:
+        store = quantize_store(store)
+    probes = np.stack(
+        [rng.permutation(c)[:min(3, c)] for _ in range(64)]).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    kw = dict(k=5, qc=32, mc=mc, max_chunks=-(-max_bucket // mc),
+              compute_dtype=jnp.float32, extract_mode=mode,
+              int8_queries=int8q, interpret=True)
+    d_dense, i_dense, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, **kw)
+    monkeypatch.setattr(pk, "WL_PAD_MAX", 16)
+    d_ck, i_ck, _, wl_total = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, wl_pad=48, **kw)
+    assert int(wl_total) <= 48, "test shape must fit the chunked capacity"
+    np.testing.assert_allclose(np.asarray(d_ck), np.asarray(d_dense),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_ck), np.asarray(i_dense))
+
+
+@pytest.mark.parametrize("pair", [False, True])
+def test_pallas_worklist_chunked_pair_and_pool(rng, monkeypatch, pair):
+    """Chunked worklist composed with the paired-block grid and the rerank
+    pool (k_out > k): the exact k-prefix must match the dense grid."""
+    import tpulmi.ops.pallas_topk as pk
+
+    data, queries, labels, store = _setup(rng, n=2000, d=128, c=7, q=64,
+                                          mc=128)
+    probes = np.stack(
+        [rng.permutation(7)[:3] for _ in range(64)]).astype(np.int32)
+    max_bucket = int(np.asarray(store.counts).max())
+    kw = dict(k=5, k_out=9, qc=32, mc=128, max_chunks=-(-max_bucket // 128),
+              compute_dtype=jnp.float32, extract_mode="group2",
+              interpret=True, pair=pair)
+    d_dense, i_dense, _ = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, **kw)
+    monkeypatch.setattr(pk, "WL_PAD_MAX", 16)
+    d_ck, i_ck, _, wl_total = pallas_probe_search(
+        jnp.asarray(probes), jnp.asarray(queries), store, wl_pad=48, **kw)
+    assert int(wl_total) <= 48
+    np.testing.assert_allclose(np.asarray(d_ck[:, :5]),
+                               np.asarray(d_dense[:, :5]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_ck[:, :5]),
+                                  np.asarray(i_dense[:, :5]))
+
+
+def test_index_worklist_chunked_end_to_end(rng, monkeypatch):
+    """Facade path: with WL_PAD_MAX shrunk below the estimated pad, the
+    planner keeps the worklist (chunked) instead of disabling it, and
+    search results equal the dense grid's."""
+    import tpulmi.ops.pallas_topk as pk
+    from tpulmi.index import LearnedIndex
+    from tpulmi.utils.config import IndexConfig, SearchConfig
+
+    n, d_nav, d = 2000, 32, 128
+    nav = rng.normal(size=(n, d_nav)).astype(np.float32)
+    dd = rng.normal(size=(n, d)).astype(np.float32)
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    li = LearnedIndex(IndexConfig(n_categories=8, epochs=2, lr=0.003,
+                                  batch_size=256, row_align=256))
+    li.build(nav, dd)
+    monkeypatch.setattr(pk, "WL_PAD_MAX", 256)
+    scfg = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                        pallas_qc=128, pallas_mc=256, pallas_worklist=True)
+    base = SearchConfig(k=5, backend="pallas", compute_dtype="float32",
+                        pallas_qc=128, pallas_mc=256)
+    qn, qs = nav[:40], dd[:40]
+    d0, i0 = li.search(qn, qs, n_buckets=3, k=5, search_config=base)
+    d1, i1 = li.search(qn, qs, n_buckets=3, k=5, search_config=scfg)
+    np.testing.assert_array_equal(i1, i0)
+    assert li._wl_pads[(40, 3)] > pk.WL_PAD_MAX  # chunked, not disabled

@@ -135,6 +135,11 @@ def run(
             router_restarts=max(1, router_restarts),
         ))
     else:
+        if router_restarts > 1:
+            log.warning(
+                "--router-restarts %d is a hierarchical-navigation knob "
+                "and is ignored by the flat index; pass "
+                "--hierarchical-groups to use it", router_restarts)
         li = LearnedIndex(cfg)
     _, build_t = li.build(data_nav, data_search)
     log.info("build time: %.1fs", build_t)

@@ -224,6 +224,9 @@ class HierarchicalIndex(LearnedIndex):
         pseudo-query containment wins (see `HierarchicalConfig`); only the
         winner pays the full-corpus predict."""
         hcfg = self.hconfig
+        # a rebuild with restarts reduced to 1 must not leave the previous
+        # build's per-candidate scores visible to introspection
+        self._router_restart_scores = None
         # keep the caller's nav precision (bf16 halves the relay-bound
         # upload); every nav program casts to f32 on device
         data_nav_host = np.ascontiguousarray(np.asarray(data_nav_host))

@@ -102,6 +102,7 @@ class LearnedIndex:
         self._search_programs = {}   # static-config -> jitted program
         self._qpb_pads = {}          # (Q, n_buckets) -> validated qpb_pad
         self._wl_pads = {}           # (Q, n_buckets) -> pallas worklist pad
+        self._vmem_warned = set()    # configs whose VMEM re-tile was logged
         # optional host-resident full-precision corpus (rows by original
         # 0-based id) + normalized flag; enables the exact rerank on
         # quantized stores
@@ -819,6 +820,13 @@ class LearnedIndex:
             size_class(min(n_slots,
                            max(4 * n_slots // built.store.n_categories, 128))),
         )
+        # per-shard kernel tiles obey the same scoped-VMEM budget as the
+        # flat path (each chip dispatches the identical kernel shape)
+        pallas_pair, pallas_qc = scfg.pallas_pair, scfg.pallas_qc
+        if backend == "pallas":
+            pallas_pair, pallas_qc = self._resolve_pallas_tiling(
+                scfg, d=dim, d_stored=int(sstore.data_sorted.shape[-1]),
+                quantized=quantized)
         return SimpleNamespace(
             q=q, backend=backend, rerank=rerank, k_eff=k_eff,
             compute_dtype=(jnp.dtype(scfg.compute_dtype)
@@ -826,6 +834,7 @@ class LearnedIndex:
             data_chunk=data_chunk, max_chunks=max_chunks, qpb_pad=qpb_pad,
             wl_pad=0, want_stats=False,
             pallas_max_chunks=max(-(-built.max_bucket // scfg.pallas_mc), 1),
+            pallas_pair=pallas_pair, pallas_qc=pallas_qc,
         )
 
     def _dispatch_sharded(self, plan, n_buckets: int, scfg: SearchConfig):
@@ -843,8 +852,8 @@ class LearnedIndex:
         prog_key = (plan.backend, n_buckets, plan.k_eff, plan.qpb_pad,
                     plan.data_chunk, plan.max_chunks,
                     scfg.compute_dtype, scfg.probe_mass, scfg.int8_queries,
-                    scfg.pallas_extract, scfg.pallas_qc, scfg.pallas_mc,
-                    scfg.pallas_pair)
+                    scfg.pallas_extract, plan.pallas_qc, scfg.pallas_mc,
+                    plan.pallas_pair)
         program = self._sharded_programs.get(prog_key)
         if program is None:
             program = make_sharded_search_program(
@@ -859,12 +868,12 @@ class LearnedIndex:
                 quant_bits=sstore.quant_bits,
                 backend=plan.backend,
                 row_align=sstore.row_align,
-                pallas_qc=scfg.pallas_qc,
+                pallas_qc=plan.pallas_qc,
                 pallas_mc=scfg.pallas_mc,
                 pallas_max_chunks=plan.pallas_max_chunks,
                 pallas_int8_queries=scfg.int8_queries,
                 pallas_extract=scfg.pallas_extract,
-                pallas_pair=scfg.pallas_pair,
+                pallas_pair=plan.pallas_pair,
             )
             self._sharded_programs[prog_key] = program
         return program
@@ -1017,6 +1026,17 @@ class LearnedIndex:
             )
             backend = "pallas" if pallas_ok else "xla"
 
+        # scoped-VMEM eligibility: re-tile (or decline pair) instead of
+        # dispatching a guaranteed backend crash (ops/pallas_topk.py).
+        # Resolved BEFORE the worklist pad, whose step count halves under
+        # the paired grid.
+        pallas_pair, pallas_qc = scfg.pallas_pair, scfg.pallas_qc
+        if backend == "pallas":
+            pallas_pair, pallas_qc = self._resolve_pallas_tiling(
+                scfg, d=built.store.dim,
+                d_stored=int(built.store.data_sorted.shape[1]),
+                quantized=built.store.is_quantized)
+
         q = int(queries_nav.shape[0])
         n_slots = q * n_buckets
         # Static padding classes. data_chunk/max_chunks depend only on the
@@ -1042,7 +1062,8 @@ class LearnedIndex:
         if backend == "pallas" and scfg.pallas_worklist:
             wl_pad = self._wl_pads.get((q, n_buckets))
             if wl_pad is None:
-                wl_pad = self._estimate_wl_pad(queries_nav, n_buckets, scfg)
+                wl_pad = self._estimate_wl_pad(queries_nav, n_buckets, scfg,
+                                               pair=pallas_pair)
                 self._wl_pads[(q, n_buckets)] = wl_pad or -1
             elif wl_pad < 0:
                 wl_pad = 0
@@ -1078,7 +1099,44 @@ class LearnedIndex:
             pruning=pruning, prune_eps=prune_eps, want_stats=want_stats,
             pallas_max_chunks=max(-(-built.max_bucket // scfg.pallas_mc), 1),
             pallas_pool_k=pallas_pool_k,
+            pallas_pair=pallas_pair, pallas_qc=pallas_qc,
         )
+
+    def _resolve_pallas_tiling(self, scfg: SearchConfig, *, d: int,
+                               d_stored: int, quantized: bool):
+        """Apply the kernel's scoped-VMEM model to the requested
+        (pallas_pair, pallas_qc): pair degrades to a smaller query block
+        when one fits the budget and to the single-ref grid when none does
+        (each logged once per config). The paired bf16 grid at the default
+        qc=512 tiles is the hardware-observed crash this absorbs
+        (BENCH_r04.json tail: Mosaic scoped-VMEM 18.40M > 16.00M)."""
+        from tpulmi.ops.pallas_topk import resolve_tiling
+
+        cd = (jnp.dtype(scfg.compute_dtype) if scfg.compute_dtype
+              else jnp.dtype(jnp.float32))
+        q_isz = 1 if (scfg.int8_queries and quantized) else cd.itemsize
+        d_isz = 1 if quantized else cd.itemsize
+        pair, qc = resolve_tiling(
+            scfg.pallas_qc, scfg.pallas_mc, d=d, d_stored=d_stored,
+            q_itemsize=q_isz, data_itemsize=d_isz, quantized=quantized,
+            pair=scfg.pallas_pair)
+        key = (scfg.pallas_pair, scfg.pallas_qc, scfg.pallas_mc, cd.str,
+               quantized, scfg.int8_queries)
+        if ((pair, qc) != (scfg.pallas_pair, scfg.pallas_qc)
+                and key not in self._vmem_warned):
+            self._vmem_warned.add(key)
+            if scfg.pallas_pair and not pair:
+                log.warning(
+                    "pallas_pair declined: the paired grid exceeds the "
+                    "scoped-VMEM budget at every query-block size for "
+                    "mc=%d, d=%d, %s store — running the single-ref grid",
+                    scfg.pallas_mc, d, "int8" if quantized else cd.name)
+            else:
+                log.info(
+                    "pallas tiling: qc %d -> %d to fit the scoped-VMEM "
+                    "budget (mc=%d, d=%d, pair=%s)",
+                    scfg.pallas_qc, qc, scfg.pallas_mc, d, pair)
+        return pair, qc
 
     def _dispatch_program(self, plan, n_buckets: int, scfg: SearchConfig):
         """Build (or fetch from the per-index cache) the jitted search
@@ -1094,7 +1152,7 @@ class LearnedIndex:
                     else None,
                     scfg.probe_mass, scfg.int8_queries, scfg.pallas_extract,
                     plan.wl_pad, scfg.fetch_dtype, plan.pallas_pool_k,
-                    scfg.pallas_pair)
+                    plan.pallas_pair, plan.pallas_qc)
         program = self._search_programs.get(prog_key)
         if program is None:
             program = make_search_program(
@@ -1107,14 +1165,14 @@ class LearnedIndex:
                 query_chunk=query_chunk,
                 compute_dtype=plan.compute_dtype,
                 backend=plan.backend,
-                pallas_qc=scfg.pallas_qc,
+                pallas_qc=plan.pallas_qc,
                 pallas_mc=scfg.pallas_mc,
                 pallas_max_chunks=plan.pallas_max_chunks,
                 pallas_int8_queries=scfg.int8_queries,
                 pallas_extract=scfg.pallas_extract,
                 pallas_wl_pad=plan.wl_pad,
                 pallas_pool_k=plan.pallas_pool_k,
-                pallas_pair=scfg.pallas_pair,
+                pallas_pair=plan.pallas_pair,
                 prune_after=scfg.prune_after if plan.pruning else 0,
                 prune_eps=plan.prune_eps,
                 probe_mass=scfg.probe_mass,
@@ -1141,11 +1199,14 @@ class LearnedIndex:
             dists, ids, max_slots, wl_total = got
             if int(wl_total) > plan.wl_pad:
                 # worklist overflow drops trailing work: re-run larger —
-                # or fall back to the dense grid past the SMEM cap
-                from tpulmi.ops.pallas_topk import WL_PAD_MAX
+                # or fall back to the dense grid past the chunked ceiling
+                steps_max = (-(-plan.pallas_max_chunks // 2)
+                             if plan.pallas_pair else plan.pallas_max_chunks)
+                from tpulmi.ops.pallas_topk import wl_item_cap
+                cap = wl_item_cap(steps_max)
                 grown = max(
                     -(-int(int(wl_total) * 1.15) // 1024) * 1024, 1024)
-                plan.wl_pad = grown if grown <= WL_PAD_MAX else 0
+                plan.wl_pad = grown if grown <= cap else 0
                 self._wl_pads[(plan.q, n_buckets)] = plan.wl_pad or -1
                 return "retry"
         elif plan.want_stats:
@@ -1328,7 +1389,7 @@ class LearnedIndex:
                 executor.shutdown(wait=False)
 
     def _estimate_wl_pad(self, queries_nav, n_buckets: int,
-                         scfg: SearchConfig) -> int:
+                         scfg: SearchConfig, pair: bool = False) -> int:
         """Size the Pallas flat-worklist grid from this batch's ACTUAL
         routing: W = Σ_b ceil(slots_b/qc) · max(ceil(rows_b/mc), 1) over
         probed buckets — the closed form of the kernel's block-major
@@ -1337,9 +1398,9 @@ class LearnedIndex:
         variance across later batches (overflow re-runs once, larger).
 
         Returns 0 — keep the dense grid — when the padded worklist would
-        exceed `WL_PAD_MAX` (it is a scalar-prefetch SMEM operand; an
-        oversized one crashes the backend, ops/pallas_topk.py)."""
-        from tpulmi.ops.pallas_topk import WL_PAD_MAX
+        exceed the chunked ceiling (`wl_item_cap`: WL_SEGMENTS_MAX
+        block-aligned SMEM segments of WL_PAD_MAX items each,
+        ops/pallas_topk.py)."""
         from tpulmi.search import route_probes, routing_logits
 
         built = self.built
@@ -1356,15 +1417,17 @@ class LearnedIndex:
         counts = np.asarray(jax.device_get(built.store.counts))
         qc, mc = scfg.pallas_qc, scfg.pallas_mc
         ndb = -(-counts // mc)
-        if scfg.pallas_pair:  # grid steps advance two chunks at a time
+        if pair:  # grid steps advance two chunks at a time
             ndb = -(-ndb // 2)
         ndb = np.maximum(ndb, 1)
         w = int(np.sum((-(-sc // qc)) * ndb * (sc > 0)))
         pad = max(-(-int(w * 1.15) // 1024) * 1024, 1024)
-        if pad > WL_PAD_MAX:
+        from tpulmi.ops.pallas_topk import wl_item_cap
+        cap = wl_item_cap(int(ndb.max()) if ndb.size else 1)
+        if pad > cap:
             log.info(
-                "flat worklist would need %d items (> %d SMEM cap); "
-                "keeping the dense grid for this shape", pad, WL_PAD_MAX)
+                "flat worklist would need %d items (> the %d-item chunked "
+                "ceiling); keeping the dense grid for this shape", pad, cap)
             return 0
         return pad
 

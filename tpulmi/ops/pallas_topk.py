@@ -51,18 +51,119 @@ from tpulmi.ops.distance import SENTINEL_DIST
 
 K_LANE = 128  # scratch/output lane width (hardware lane count)
 
-# Flat-worklist ceiling: the worklist is a scalar-prefetch operand and
-# lives in SMEM, which is small. 2x17.6k int32 items (the flat 10M shape)
-# crashed the backend with an INTERNAL error where 4.5k items (the 20M
-# hierarchical shape) ran fine; the worklist is packed one int32 per item
-# and capped here, falling back to the dense 2-D grid above the cap. The
-# dense grid is only slower when bucket CHUNK COUNTS vary (skewed sizes) —
-# exactly the small-bucket hierarchical regime where worklists stay short.
+# Flat-worklist ceiling PER DISPATCH: the worklist is a scalar-prefetch
+# operand and lives in SMEM, which is small. 2x17.6k int32 items (the flat
+# 10M shape) crashed the backend with an INTERNAL error where 4.5k items
+# (the 20M hierarchical shape) ran fine; the worklist is packed one int32
+# per item and capped here. Above the cap the worklist is CHUNKED into
+# block-aligned segments of <= WL_PAD_MAX items, one pallas_call each,
+# chained through donated output buffers (every query block lives entirely
+# in one segment, so each segment writes exactly its own output tiles and
+# the rest pass through) — the SMEM envelope is per dispatch, not per
+# search. WL_SEGMENTS_MAX bounds the chunking (16 segments ≈ 125k items
+# covers the 40M x 16-probe shape's 61k at 3x margin); the dense 2-D grid
+# remains the fallback past that.
 WL_PAD_MAX = 8192
+WL_SEGMENTS_MAX = 16
+
+
+def wl_item_cap(steps_max: int) -> int:
+    """Largest worklist total the kernel serves for a store whose longest
+    bucket needs ``steps_max`` chunk-steps: one SMEM segment up to
+    WL_PAD_MAX, else WL_SEGMENTS_MAX chunked segments whose per-segment
+    budget reserves steps_max items so block-aligned assignment never
+    overflows a segment."""
+    if steps_max >= WL_PAD_MAX:
+        return WL_PAD_MAX
+    return max(WL_PAD_MAX, WL_SEGMENTS_MAX * (WL_PAD_MAX - steps_max))
+
 
 # scalar-prefetch rows: first data block of the bucket, number of live data
 # chunks, live slots in this query block, bucket row limit (offset+count)
 _DSTART, _NDB, _QLIM, _DLIM = range(4)
+
+# Mosaic's scoped-VMEM budget (bytes). A dispatch whose per-grid-step
+# footprint exceeds it fails at REMOTE COMPILE time with a backend error
+# that can wedge the whole process (NOTES.md rule 10) — observed live when
+# the `pair` grid at the 300K bf16 shape wanted 18.40 MB of the 16 MB
+# budget (BENCH_r04.json tail). `estimate_vmem_bytes` models the footprint
+# host-side so callers decline or re-tile INSTEAD of dispatching a
+# guaranteed crash.
+VMEM_LIMIT = 16 * 2 ** 20
+# The model under-counted that observed crash by ~6% (17.3 vs 18.4 MB —
+# Mosaic scopes compiler temporaries the closed form cannot see); scale up
+# so "fits" means fits with margin.
+VMEM_MODEL_SLACK = 1.1
+
+
+def estimate_vmem_bytes(*, qc: int, mc: int, d: int, d_stored: int,
+                        q_itemsize: int, data_itemsize: int,
+                        quantized: bool, pair: bool) -> int:
+    """Estimated scoped-VMEM bytes of one kernel grid step (model, not
+    oracle — calibrated against the one hardware-observed overflow and
+    scaled by ``VMEM_MODEL_SLACK``). Terms:
+
+    - input refs are double-buffered by the pipeline (×2): the (qc, d)
+      query tile, 1+pair (mc, d_stored) data refs, and their scale tiles;
+    - the (qc, w_mc) f32 similarity tile plus ~one masked working copy
+      (the compiler keeps `vals`/`dists` live across the extraction loop);
+    - the (qc, 128) f32+i32 output tiles and scratch accumulators."""
+    n_refs = 2 if pair else 1
+    w_mc = n_refs * mc
+    buf = 2  # double-buffered DMA refs
+    q_bytes = qc * d * q_itemsize * buf
+    data_bytes = n_refs * mc * d_stored * data_itemsize * buf
+    sc_bytes = n_refs * mc * 4 * buf if quantized else 0
+    out_bytes = qc * K_LANE * (4 + 4)
+    scratch_bytes = qc * K_LANE * (4 + 4)
+    tile_bytes = 2 * qc * w_mc * 4
+    est = (q_bytes + data_bytes + sc_bytes + out_bytes + scratch_bytes
+           + tile_bytes)
+    return int(est * VMEM_MODEL_SLACK)
+
+
+def pick_pair_qc(qc: int, mc: int, d: int, d_stored: int,
+                 q_itemsize: int, data_itemsize: int,
+                 quantized: bool) -> int:
+    """Largest query-block size ≤ qc (halving, floor 64) whose ``pair``
+    footprint fits ``VMEM_LIMIT``, or 0 when none does (pair must be
+    declined for this store/tile shape — e.g. f32 stores at mc=2048,
+    where the two double-buffered refs alone overflow). The wide bf16
+    shapes that crash at qc=512 fit at qc=256 (estimated 13.0 MB), so
+    `pair` degrades to a smaller query block instead of a dead backend."""
+    cand = qc
+    while cand >= 64:
+        if estimate_vmem_bytes(
+                qc=cand, mc=mc, d=d, d_stored=d_stored,
+                q_itemsize=q_itemsize, data_itemsize=data_itemsize,
+                quantized=quantized, pair=True) <= VMEM_LIMIT:
+            return cand
+        cand //= 2
+    return 0
+
+
+def resolve_tiling(qc: int, mc: int, *, d: int, d_stored: int,
+                   q_itemsize: int, data_itemsize: int, quantized: bool,
+                   pair: bool) -> Tuple[bool, int]:
+    """Resolve a requested (pair, qc) against the scoped-VMEM budget:
+    returns the largest eligible qc ≤ the request (halving, floor 64) and
+    whether ``pair`` survives — pair degrades to a smaller query block
+    when one fits, and to the single-ref grid when none does. Search
+    planning calls this so an ineligible request becomes a logged
+    re-tiling instead of the backend crash `pallas_probe_search` would
+    refuse with a ValueError."""
+    if pair:
+        qc2 = pick_pair_qc(qc, mc, d, d_stored, q_itemsize, data_itemsize,
+                           quantized)
+        if qc2:
+            return True, qc2
+        pair = False
+    while qc > 64 and estimate_vmem_bytes(
+            qc=qc, mc=mc, d=d, d_stored=d_stored, q_itemsize=q_itemsize,
+            data_itemsize=data_itemsize, quantized=quantized,
+            pair=False) > VMEM_LIMIT:
+        qc //= 2
+    return pair, qc
 
 
 def _kernel(s_ref, q_ref, d_ref, *rest,
@@ -85,13 +186,22 @@ def _kernel_flat(s_ref, wl_ref, q_ref, d_ref, *rest,
                  quantized: bool = False,
                  int8q: bool = False, sub: int = 64, mode: str = "scalar",
                  packed: bool = False, pool: bool = False,
-                 pair: bool = False):
+                 pair: bool = False, chunked: bool = False):
     # flat worklist grid: one step per LIVE (query block, chunk) pair —
     # bucket-size skew costs nothing. wl_ref (wl_pad,) holds the
     # block-major worklist PACKED one int32 per item (j*cmax + c — SMEM is
-    # the scarce resource, see WL_PAD_MAX); padding items past the true
-    # total re-address the final block with c >= its chunk count, so every
-    # gate below is off and their DMA is elided (constant index maps).
+    # the scarce resource, see WL_PAD_MAX). Padding semantics differ by
+    # mode: the single-segment grid re-addresses the FINAL block with
+    # c >= its chunk count (gates off, DMA elided); a chunked segment pads
+    # with a dedicated TRASH block (j == n_qblocks, ndb = qlim = 0) whose
+    # tile every padding item overwrites with the sentinel init — a
+    # padding item must never flush an unwritten VMEM tile over another
+    # segment's donated results.
+    if chunked:
+        # two donated pass-through in-refs (previous segments' outputs)
+        # ride along for the input/output aliasing; the kernel never reads
+        # them. rest tail is [prev_d, prev_i, out_d, out_i, best_d, best_i].
+        rest = rest[:-6] + rest[-4:]
     i = pl.program_id(0)
     j = wl_ref[i] // cmax
     c = wl_ref[i] % cmax
@@ -680,6 +790,26 @@ def pallas_probe_search(
             f"extract_mode={extract_mode!r} needs mc % {K_LANE} == 0, "
             f"got mc={mc}"
         )
+    if not interpret:
+        # scoped-VMEM eligibility: a dispatch past the budget fails at
+        # remote compile with a backend error that can wedge the process
+        # (NOTES.md rule 10) — refuse it here, at trace time, with the
+        # actionable knobs in the message. Interpret mode has no VMEM.
+        _q_isz = 1 if int8_queries and store.is_quantized else (
+            jnp.dtype(compute_dtype).itemsize)
+        _d_isz = (1 if store.is_quantized
+                  else jnp.dtype(compute_dtype).itemsize)
+        _est = estimate_vmem_bytes(
+            qc=qc, mc=mc, d=d, d_stored=d_stored, q_itemsize=_q_isz,
+            data_itemsize=_d_isz, quantized=store.is_quantized, pair=pair)
+        if _est > VMEM_LIMIT:
+            raise ValueError(
+                f"kernel tile (qc={qc}, mc={mc}, d={d}, pair={pair}, "
+                f"dtype={'int8' if store.is_quantized else str(compute_dtype)}"
+                f") wants ~{_est / 2**20:.1f} MB of the {VMEM_LIMIT // 2**20}"
+                f" MB scoped-VMEM budget — the dispatch would crash the "
+                f"backend (NOTES.md rule 10). Halve qc"
+                + (" or disable pair" if pair else "") + ".")
 
     # ---- group slots by bucket, block-aligned: every query block belongs
     # to exactly one bucket ----
@@ -779,12 +909,8 @@ def pallas_probe_search(
         return s[_DSTART, j] + jnp.minimum(chunk,
                                            jnp.maximum(s[_NDB, j] - 1, 0))
 
+    out_precomputed = None
     if wl_pad > 0:
-        if wl_pad > WL_PAD_MAX:
-            raise ValueError(
-                f"wl_pad={wl_pad} exceeds WL_PAD_MAX={WL_PAD_MAX} (the "
-                f"worklist is a scalar-prefetch SMEM operand); use the "
-                f"dense grid (wl_pad=0) for this shape")
         # flat worklist: one grid step per live (block, chunk-step) pair,
         # block-major so the scratch accumulator carries within a block.
         # Empty probed buckets keep ONE item (their output tile must get
@@ -798,49 +924,155 @@ def pallas_probe_search(
         cum = jnp.cumsum(ndb_wl).astype(jnp.int32)
         wl_total = cum[n_qblocks - 1]
         ex = cum - ndb_wl
-        ii = jnp.arange(wl_pad, dtype=jnp.int32)
-        wl_j = jnp.minimum(
-            jnp.searchsorted(cum, ii, side="right").astype(jnp.int32),
-            n_qblocks - 1,
-        )
-        wl_c = jnp.minimum(ii - jnp.take(ex, wl_j), steps_max)
-        wl = wl_j * cmax + wl_c
 
         def data_index_flat(i, s, w, r=0):
             j = w[i] // cmax
             return (_block_of(w[i] % cmax, r, s, j), 0)
 
-        in_specs = [
-            pl.BlockSpec((qc, d), lambda i, s, w: (w[i] // cmax, 0)),
-            pl.BlockSpec((mc, d_stored), data_index_flat),
-        ]
-        inputs = [scalars, wl, qvecs, data]
-        if pair:
-            in_specs.append(pl.BlockSpec(
-                (mc, d_stored), partial(data_index_flat, r=1)))
-            inputs.append(data)
-        if quantized:
-            in_specs.append(pl.BlockSpec((mc // 128, 128), data_index_flat))
-            inputs.append(sc_blocks)
+        def _wl_specs():
+            specs = [
+                pl.BlockSpec((qc, d), lambda i, s, w: (w[i] // cmax, 0)),
+                pl.BlockSpec((mc, d_stored), data_index_flat),
+            ]
             if pair:
-                in_specs.append(pl.BlockSpec(
-                    (mc // 128, 128), partial(data_index_flat, r=1)))
-                inputs.append(sc_blocks)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(wl_pad,),
-            in_specs=in_specs,
-            out_specs=[
+                specs.append(pl.BlockSpec(
+                    (mc, d_stored), partial(data_index_flat, r=1)))
+            if quantized:
+                specs.append(
+                    pl.BlockSpec((mc // 128, 128), data_index_flat))
+                if pair:
+                    specs.append(pl.BlockSpec(
+                        (mc // 128, 128), partial(data_index_flat, r=1)))
+            return specs
+
+        def _wl_inputs(scal, wl_arr, qv):
+            ins = [scal, wl_arr, qv, data]
+            if pair:
+                ins.append(data)
+            if quantized:
+                ins.append(sc_blocks)
+                if pair:
+                    ins.append(sc_blocks)
+            return ins
+
+        out_map = [
+            pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[i] // cmax, 0)),
+            pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[i] // cmax, 0)),
+        ]
+        if wl_pad <= WL_PAD_MAX:
+            # single segment: padding items re-address the FINAL block
+            # with c >= its chunk count (gates off, DMA elided)
+            ii = jnp.arange(wl_pad, dtype=jnp.int32)
+            wl_j = jnp.minimum(
+                jnp.searchsorted(cum, ii, side="right").astype(jnp.int32),
+                n_qblocks - 1,
+            )
+            wl_c = jnp.minimum(ii - jnp.take(ex, wl_j), steps_max)
+            wl = wl_j * cmax + wl_c
+            inputs = [*_wl_inputs(scalars, wl, qvecs)]
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(wl_pad,),
+                in_specs=_wl_specs(),
+                out_specs=out_map,
+                scratch_shapes=scratch,
+            )
+            kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
+                             quantized=quantized, int8q=int8q,
+                             sub=extract_sub, mode=extract_mode,
+                             packed=store.packed, pool=pool, pair=pair)
+        else:
+            # ---- chunked worklist: S block-aligned segments of at most
+            # WL_PAD_MAX items, one pallas_call each, chained through
+            # DONATED output buffers. Every query block's items land in
+            # exactly one segment (segment of block j = ex[j] // B with
+            # B = WL_PAD_MAX - steps_max, so a block starting before a
+            # boundary still ends within the segment), hence each segment
+            # fully writes its own output tiles and never touches
+            # another's — the donated buffers pass the rest through.
+            # Padding items address a dedicated TRASH block (j ==
+            # n_qblocks) whose tile they overwrite with the sentinel init;
+            # re-addressing a real block would flush an unwritten VMEM
+            # tile over donated results.
+            if steps_max >= WL_PAD_MAX:
+                raise ValueError(
+                    f"a single bucket needs {steps_max} chunk-steps — more "
+                    f"than one worklist segment holds ({WL_PAD_MAX}); use "
+                    f"the dense grid for this shape")
+            seg_budget = WL_PAD_MAX - steps_max
+            n_seg = -(-wl_pad // seg_budget)
+            if n_seg > WL_SEGMENTS_MAX:
+                raise ValueError(
+                    f"wl_pad={wl_pad} needs {n_seg} worklist segments "
+                    f"(> WL_SEGMENTS_MAX={WL_SEGMENTS_MAX}); use the dense "
+                    f"grid for this shape")
+            cap = n_seg * seg_budget
+            seg_of_block = jnp.minimum(ex // seg_budget, n_seg - 1)
+            seg_first = jnp.full((n_seg,), jnp.iinfo(jnp.int32).max,
+                                 jnp.int32).at[seg_of_block].min(ex)
+            trash = n_qblocks * cmax
+            ii = jnp.arange(cap, dtype=jnp.int32)
+            wl_j = jnp.minimum(
+                jnp.searchsorted(cum, ii, side="right").astype(jnp.int32),
+                n_qblocks - 1,
+            )
+            wl_c = jnp.minimum(ii - jnp.take(ex, wl_j), steps_max)
+            items = wl_j * cmax + wl_c
+            seg = jnp.take(seg_of_block, wl_j)
+            pos = jnp.clip(ii - jnp.take(seg_first, seg), 0, WL_PAD_MAX - 1)
+            valid = ii < wl_total
+            wl_segs = jnp.full((n_seg + 1, WL_PAD_MAX), trash, jnp.int32)
+            wl_segs = wl_segs.at[
+                jnp.where(valid, seg, n_seg), pos
+            ].set(jnp.where(valid, items, trash), mode="drop")[:n_seg]
+
+            # trash-block scalars (ndb = qlim = 0: compute gated off, the
+            # c == last_c write emits the sentinel init) + one zero query
+            # block backing its query-tile DMA
+            scalars_ck = jnp.concatenate(
+                [scalars, jnp.zeros((scalars.shape[0], 1), jnp.int32)],
+                axis=1)
+            qvecs_ck = jnp.concatenate(
+                [qvecs, jnp.zeros((qc, qvecs.shape[1]), qvecs.dtype)],
+                axis=0)
+            n_rows_ck = (n_qblocks + 1) * qc
+            in_specs = _wl_specs() + [
                 pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[i] // cmax, 0)),
                 pl.BlockSpec((qc, K_LANE), lambda i, s, w: (w[i] // cmax, 0)),
-            ],
-            scratch_shapes=scratch,
-        )
-        kernel = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
-                         quantized=quantized, int8q=int8q, sub=extract_sub,
-                         mode=extract_mode, packed=store.packed, pool=pool,
-                         pair=pair)
-    else:
+            ]
+            out_shape_ck = [
+                jax.ShapeDtypeStruct((n_rows_ck, K_LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_rows_ck, K_LANE), jnp.int32),
+            ]
+            grid_spec_ck = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(WL_PAD_MAX,),
+                in_specs=in_specs,
+                out_specs=out_map,
+                scratch_shapes=scratch,
+            )
+            kernel_ck = partial(_kernel_flat, k=k, qc=qc, mc=mc, cmax=cmax,
+                                quantized=quantized, int8q=int8q,
+                                sub=extract_sub, mode=extract_mode,
+                                packed=store.packed, pool=pool, pair=pair,
+                                chunked=True)
+            acc_d = jnp.full((n_rows_ck, K_LANE), SENTINEL_DIST, jnp.float32)
+            acc_i = jnp.full((n_rows_ck, K_LANE), -1, jnp.int32)
+            base = _wl_inputs(scalars_ck, wl_segs[0], qvecs_ck)
+            n_in = len(base) + 2
+            for s_i in range(n_seg):
+                base[1] = wl_segs[s_i]
+                acc_d, acc_i = pl.pallas_call(
+                    kernel_ck,
+                    grid_spec=grid_spec_ck,
+                    out_shape=out_shape_ck,
+                    input_output_aliases={n_in - 2: 0, n_in - 1: 1},
+                    interpret=interpret,
+                )(*base, acc_d, acc_i)
+            # drop the trash block's rows before the slot scatter
+            out_precomputed = (acc_d[: n_qblocks * qc],
+                               acc_i[: n_qblocks * qc])
+    if out_precomputed is None and wl_pad == 0:
         def data_block_index(j, c, s, r=0):
             return (_block_of(c, r, s, j), 0)
 
@@ -873,12 +1105,15 @@ def pallas_probe_search(
         kernel = partial(_kernel, k=k, qc=qc, mc=mc, quantized=quantized,
                          int8q=int8q, sub=extract_sub, mode=extract_mode,
                          packed=store.packed, pool=pool, pair=pair)
-    out_d, out_i = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*inputs)
+    if out_precomputed is not None:
+        out_d, out_i = out_precomputed
+    else:
+        out_d, out_i = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*inputs)
 
     # ---- per-slot top-k_out (scratch is unordered; with the pool, lanes
     # beyond k hold the best-effort extras), scatter back, merge ranks ----

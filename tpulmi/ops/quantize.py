@@ -130,9 +130,18 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 
 def quantize_rows_int4_host(x: "np.ndarray"):
     """NumPy twin of `quantize_rows_int4` (same per-row adaptive clip, same
-    op order so codes match the device quantizer bit-for-bit on the same
-    input) for the host layout path (tpulmi/hoststore.py). Returns
-    (packed int8 (N, d/2), scales f32 (N,))."""
+    op order) for the host layout path (tpulmi/hoststore.py). Returns
+    (packed int8 (N, d/2), scales f32 (N,)).
+
+    Codes match the device quantizer bit-for-bit on backends whose f32
+    reduction order matches numpy's (the CPU test backend). On TPU the
+    XLA error-sum reduction may accumulate in a different order, so a row
+    whose two best grid points are within float rounding of each other can
+    pick the neighboring clip — codes AND scale then differ for that row.
+    Both picks are (near-)optimal reconstructions, the store contract only
+    requires scales to match the codes they ship with, and the exact host
+    rerank absorbs the sub-ulp score difference, so the divergence is
+    harmless; just don't assert cross-backend bit-equality."""
     import numpy as np
 
     x = np.asarray(x, dtype=np.float32)
