@@ -580,6 +580,7 @@ def main():
         "pallas_worklist": worklist_used,
         "pallas_pool": pool_used,
         "pallas_pair": pair_used,
+        "router_restarts": ROUTER_RESTARTS,
         "ref_search_s_10M": REF_SEARCH_S,
         "ref_build_s_10M": REF_BUILD_S,
         "datagen_s": round(t_gen, 1),
