@@ -52,7 +52,7 @@ def exact_knn_streamed(
     compute_dtype=jnp.bfloat16,
     normalized: bool = True,
     resume_path: str = None,
-    checkpoint_every: int = 32,
+    checkpoint_every: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact cosine k-NN over a corpus that lives in HOST memory: data blocks
     stream to the device chunk by chunk with a running top-k merge, so the
@@ -114,11 +114,13 @@ def exact_knn_streamed(
         # remote backend's block_until_ready is a no-op) this loop enqueues
         # the ENTIRE corpus as pending async transfers; tens of GB of
         # buffered futures wedge the transfer stream outright and hold
-        # every staged block in host RAM. Barrier every 4th chunk: pending
-        # transfers stay bounded (~4 blocks) while healthy directly-attached
-        # backends keep upload/compute pipelining.
-        if lo // chunk % 4 == 3 or hi == n:
-            jax.device_get(best_d[-1:, :1])
+        # every staged block in host RAM. Barrier EVERY chunk: the round-5
+        # 40M session measured repeated multi-minute stream wedges at the
+        # old every-4th cadence (three stalls in 40 chunks) — the same
+        # failure the slab-pipelined store upload already barriers per slab
+        # for (NOTES.md: "unsynced streams wedge"). One ~65 ms roundtrip
+        # per 400 MB chunk is noise against the relay transfer itself.
+        jax.device_get(best_d[-1:, :1])
         if lo // chunk % 8 == 0:
             log.info("exact_knn_streamed: %d/%d rows", hi, n)
         if (resume_path and hi < n
