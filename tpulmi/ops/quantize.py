@@ -145,23 +145,39 @@ def quantize_rows_int4_host(x: "np.ndarray"):
     import numpy as np
 
     x = np.asarray(x, dtype=np.float32)
-    maxabs = np.abs(x).max(axis=1)
-    best_err = np.full(x.shape[0], np.inf, np.float32)
-    best_scale = np.zeros(x.shape[0], np.float32)
-    for clip in INT4_CLIP_GRID:
-        s = np.maximum(maxabs * np.float32(clip), np.float32(1e-12))
-        q = np.clip(np.rint(x / s[:, None] * np.float32(7.0)), -8, 7)
-        err = ((q * (s / np.float32(7.0))[:, None] - x) ** 2).sum(
-            axis=1, dtype=np.float32)
-        upd = err < best_err
-        best_err = np.where(upd, err, best_err)
-        best_scale = np.where(upd, s, best_scale)
-    scales = np.maximum(best_scale, np.float32(1e-12))
-    q = np.clip(np.rint(x / scales[:, None] * 7.0), -8, 7).astype(np.int8)
-    d = q.shape[1]
-    lo = q[:, : d // 2].astype(np.uint8) & 0xF
-    hi = q[:, d // 2:].astype(np.uint8) & 0xF
-    return (lo | (hi << 4)).astype(np.int8), scales
+    n, d = x.shape
+    out_codes = np.empty((n, d // 2), np.int8)
+    out_scales = np.empty((n,), np.float32)
+    # Block the grid sweep: the 9-point search allocates ~4 row-block-sized
+    # f32 temporaries per grid point, and at the host layout's 1M-row
+    # chunks that is a 12-15 GB transient — enough to OOM the 40M build,
+    # whose steady state (61 GB corpus + 15.4 GB store + nav copies)
+    # already rides the host-RAM ceiling (measured round-5: anon peaked
+    # 114.6 GB and the kernel killed it). 128k-row blocks bound the
+    # transient at ~1.6 GB for identical results (the sweep is row-wise).
+    block = 131072
+    for blo in range(0, n, block):
+        bhi = min(blo + block, n)
+        xb = x[blo:bhi]
+        maxabs = np.abs(xb).max(axis=1)
+        best_err = np.full(xb.shape[0], np.inf, np.float32)
+        best_scale = np.zeros(xb.shape[0], np.float32)
+        for clip in INT4_CLIP_GRID:
+            s = np.maximum(maxabs * np.float32(clip), np.float32(1e-12))
+            q = np.clip(np.rint(xb / s[:, None] * np.float32(7.0)), -8, 7)
+            err = ((q * (s / np.float32(7.0))[:, None] - xb) ** 2).sum(
+                axis=1, dtype=np.float32)
+            upd = err < best_err
+            best_err = np.where(upd, err, best_err)
+            best_scale = np.where(upd, s, best_scale)
+        scales = np.maximum(best_scale, np.float32(1e-12))
+        q = np.clip(np.rint(xb / scales[:, None] * 7.0), -8, 7).astype(
+            np.int8)
+        lo = q[:, : d // 2].astype(np.uint8) & 0xF
+        hi = q[:, d // 2:].astype(np.uint8) & 0xF
+        out_codes[blo:bhi] = (lo | (hi << 4)).astype(np.int8)
+        out_scales[blo:bhi] = scales
+    return out_codes, out_scales
 
 
 @partial(jax.jit, static_argnames=())
