@@ -197,3 +197,40 @@ def test_slab_upload_serial_roundtrip(rng):
     host = rng.normal(size=(1000, 16)).astype(np.float32)
     buf = _slab_upload_serial(host, slab_rows=256)  # 3 full slabs + 232 tail
     np.testing.assert_array_equal(np.asarray(jax.device_get(buf)), host)
+
+
+@pytest.mark.parametrize("store_dtype", ["int4", "int8", "bfloat16"])
+def test_source_sequential_layout_matches_gather(rng, tmp_path, monkeypatch,
+                                                 store_dtype):
+    """A corpus too big to materialize (TPULMI_MATERIALIZE_MAX_FRAC=0
+    forces the decline) takes the source-sequential scatter path and must
+    produce the exact arrays of the in-RAM gather layout, with monotone
+    upload watermarks that never release a row before its final write."""
+    from tpulmi.hoststore import layout_host_store
+
+    n, d, n_cat = 5000, 32, 7
+    pred = rng.integers(0, n_cat, size=n).astype(np.int32)
+    data = rng.normal(size=(n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    path = tmp_path / "corpus.npy"
+    np.save(path, data)
+    mm = np.load(path, mmap_mode="r")
+
+    want = layout_host_store(pred, data, n_cat, row_align=64,
+                             store_dtype=store_dtype, normalized=True,
+                             pad_rows=64, chunk=1024)
+
+    monkeypatch.setenv("TPULMI_MATERIALIZE_MAX_FRAC", "0")
+    marks = []
+    got = layout_host_store(pred, mm, n_cat, row_align=64,
+                            store_dtype=store_dtype, normalized=True,
+                            pad_rows=64, chunk=1024,
+                            progress_cb=marks.append)
+    assert isinstance(got.data_sorted, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(got.data_sorted),
+                                  np.asarray(want.data_sorted))
+    np.testing.assert_array_equal(got.ids_sorted, want.ids_sorted)
+    if store_dtype in ("int4", "int8"):
+        np.testing.assert_array_equal(got.scales, want.scales)
+    assert marks == sorted(marks)          # monotone watermarks
+    assert marks[-1] == got.data_sorted.shape[0]

@@ -464,6 +464,15 @@ class HierarchicalIndex(LearnedIndex):
             config=cfg,
             max_bucket=int(arrays.counts.max()) if arrays.counts.size else 0,
         )
+        # see LearnedIndex.build_with_host_store: a source-sequential
+        # layout leaves the corpus mapped — retry the RAM copy for the
+        # rerank now that the build-time peak is over
+        import os as _os
+
+        from tpulmi.hoststore import ensure_in_ram as _eir
+
+        data_search_host = _eir(data_search_host, max_frac=float(
+            _os.environ.get("TPULMI_RERANK_MATERIALIZE_MAX_FRAC", "0.6")))
         self._host_corpus = (data_search_host, normalized)
         if hcfg.calibrate_budget:
             self.calibrate_outer_weight(

@@ -16,6 +16,7 @@ Replaces the pandas groupby bucket formation of the reference
 (`search/li/LearnedIndex.py:143-145`) at scales pandas cannot reach.
 """
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -27,16 +28,44 @@ from tpulmi.utils.logging import get_logger
 log = get_logger("tpulmi.hoststore")
 
 
-def ensure_in_ram(arr):
+def _mem_total_bytes():
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
+def ensure_in_ram(arr, max_frac: float = None):
     """Materialize a (possibly memory-mapped) corpus in RAM with ONE
     sequential read. Random-access gathers over a disk memmap are an
     IO-bound storm (429 s vs ~40 s in RAM for the 10M store layout; the
-    same pathology hits the per-query rerank gather)."""
+    same pathology hits the per-query rerank gather).
+
+    Refuses (returns the memmap unchanged) when the copy alone would
+    exceed ``max_frac`` of total host RAM (default
+    ``TPULMI_MATERIALIZE_MAX_FRAC`` or 0.45): the 40M build's steady
+    state — 61 GB corpus copy + 15.4 GB store + nav copies + relay-client
+    staging — OOM'd a 125 GB host twice (round-5, anon peak 114.6 GB).
+    `layout_host_store` detects the still-mapped corpus and switches to
+    source-sequential scatter, which never needs the RAM copy."""
     base = getattr(arr, "base", None)
-    if isinstance(arr, np.memmap) or isinstance(base, np.memmap):
-        log.info("materializing memory-mapped corpus in RAM (%s)", arr.shape)
-        return np.array(arr)
-    return arr
+    if not (isinstance(arr, np.memmap) or isinstance(base, np.memmap)):
+        return arr
+    if max_frac is None:
+        max_frac = float(os.environ.get("TPULMI_MATERIALIZE_MAX_FRAC",
+                                        "0.45"))
+    total = _mem_total_bytes()
+    if total is not None and arr.nbytes > max_frac * total:
+        log.info(
+            "corpus stays memory-mapped: %.1f GB copy > %.0f%% of %.1f GB "
+            "host RAM", arr.nbytes / 1e9, max_frac * 100, total / 1e9)
+        return arr
+    log.info("materializing memory-mapped corpus in RAM (%s)", arr.shape)
+    return np.array(arr)
 
 
 @dataclass
@@ -121,6 +150,70 @@ def layout_host_store(
     pos = offsets[sorted_labels].astype(np.int64) + rank
     if on_alloc is not None:
         on_alloc(store_host, n_total + pad_rows)
+
+    still_mapped = isinstance(data_search_host, np.memmap) or isinstance(
+        getattr(data_search_host, "base", None), np.memmap)
+    if still_mapped:
+        # Source-sequential scatter for corpora too big to materialize
+        # (ensure_in_ram declined above): read the memmap in SEQUENTIAL
+        # chunks (page-cache friendly; the gather path's random memmap
+        # reads are an IO storm) and scatter-write into the RAM store.
+        # dst[i] = store position of source row i. Watermarks for the
+        # overlap uploader come from the suffix-min of per-chunk dst
+        # minima: after chunk c, no later chunk writes below
+        # min(dst mins of chunks > c), so that prefix is final. (Source
+        # rows spread across all buckets, so watermarks mostly release at
+        # the tail — the upload loses its overlap but stays correct.)
+        dst = np.empty(n, np.int64)
+        dst[order] = pos
+        starts = list(range(0, n, chunk))
+        cmins = np.array(
+            [dst[lo:min(lo + chunk, n)].min() for lo in starts], np.int64)
+        suffix = np.empty(len(starts) + 1, np.int64)
+        suffix[-1] = n_total
+        for i in range(len(starts) - 1, -1, -1):
+            suffix[i] = min(suffix[i + 1], cmins[i])
+        log.info("host layout: source-sequential scatter over %d chunks "
+                 "(corpus stays on disk)", len(starts))
+        for ci, lo in enumerate(starts):
+            hi = min(lo + chunk, n)
+            rows = np.asarray(data_search_host[lo:hi], dtype=np.float32)
+            if not normalized:
+                rows /= np.maximum(
+                    np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+            d_chunk = dst[lo:hi]
+            if packed4:
+                from tpulmi.ops.quantize import quantize_rows_int4_host
+
+                codes, s = quantize_rows_int4_host(rows)
+                store_host[d_chunk] = codes
+                scales_host[d_chunk] = s
+            elif quantized:
+                s = np.maximum(np.abs(rows).max(axis=1), 1e-12)
+                store_host[d_chunk] = np.clip(
+                    np.rint(rows / s[:, None] * 127.0), -127, 127
+                ).astype(np.int8)
+                scales_host[d_chunk] = s
+            else:
+                store_host[d_chunk] = rows.astype(dtype)
+            ids_host[d_chunk] = np.arange(lo, hi, dtype=np.int32)
+            if progress_cb is not None:
+                progress_cb(int(suffix[ci + 1]))
+        log.info("host layout: %d rows -> %d aligned (+%d pad) in %.1fs",
+                 n, n_total, pad_rows, time.perf_counter() - t0)
+        if progress_cb is not None:
+            progress_cb(n_total + pad_rows)
+        return HostStoreArrays(
+            data_sorted=store_host,
+            ids_sorted=ids_host,
+            offsets=offsets,
+            counts=counts,
+            scales=scales_host,
+            n=n,
+            pad_rows=pad_rows,
+            row_align=align,
+            quant_bits=4 if packed4 else 8,
+        )
 
     from tpulmi.native import native_layout
 

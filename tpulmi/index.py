@@ -411,7 +411,16 @@ class LearnedIndex:
             config=cfg,
             max_bucket=int(arrays.counts.max()) if arrays.counts.size else 0,
         )
-        # keep the host corpus for the exact rerank of quantized results
+        # keep the host corpus for the exact rerank of quantized results.
+        # If the layout ran source-sequential (corpus too big to hold in
+        # RAM alongside the build's own peak), retry the RAM copy NOW: the
+        # store/nav/staging copies are gone, so the rerank budget is wider
+        # (0.6 of RAM vs the build-time 0.45) — the per-query rerank
+        # gather over a disk memmap is the 429 s-vs-40 s pathology.
+        from tpulmi.hoststore import ensure_in_ram as _eir
+
+        data_search_host = _eir(data_search_host, max_frac=float(
+            os.environ.get("TPULMI_RERANK_MATERIALIZE_MAX_FRAC", "0.6")))
         self._host_corpus = (data_search_host, normalized)
         return pred, build_time
 
