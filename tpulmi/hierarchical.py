@@ -251,8 +251,21 @@ class HierarchicalIndex(LearnedIndex):
                     "router restart %d/%d: containment@%d = %.4f "
                     "(per-w max; grid %s)", r + 1, restarts, budget, score,
                     ["%.4f" % c for c in per_w])
+                # Losers must not hold DEVICE buffers: the store upload
+                # right after nav needs ~all of HBM in one contiguous
+                # region, and candidate params/centroids sitting mid-heap
+                # fragment it (measured round-5: the 20M restarts=2 build
+                # RESOURCE_EXHAUSTed the 15.7 GB slab upload that
+                # restarts=1 survives). Demote each loser to host NOW.
                 if best is None or score > best[0]:
+                    if best is not None:
+                        best[1].params = jax.device_get(best[1].params)
+                        best = (best[0], best[1],
+                                np.asarray(jax.device_get(best[2])))
                     best = (score, cand, cents)
+                else:
+                    cand.params = jax.device_get(cand.params)
+                    cents = np.asarray(jax.device_get(cents))
             log.info("router restarts: selected containment@%d = %.4f",
                      budget, best[0])
             # introspection for benches/tests: per-candidate scores, in
@@ -445,6 +458,12 @@ class HierarchicalIndex(LearnedIndex):
         # on a chip that fits 16.5 GB when empty). Re-uploaded below.
         classifier.params = jax.device_get(classifier.params)
         centroids = np.asarray(jax.device_get(centroids))
+        # drop every nav-phase device reference before the near-HBM store
+        # allocation (mirrors LearnedIndex.build_with_host_store): python
+        # frees are lazy, and one straggling buffer fragments the heap
+        import gc
+
+        gc.collect()
 
         data_search_host = mat_thread.result()
         store, arrays, data_search_host = self._host_store_to_built(
