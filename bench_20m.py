@@ -17,10 +17,34 @@ Prints ONE JSON line in the bench.py schema (baseline = the reference's
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+class _ABTimeout(Exception):
+    """An optional A/B rung hung on a device dispatch (the remote relay
+    can wedge a single execution forever — round-5 measured a >20 min
+    silent hang in the worklist rung). SIGALRM turns the hang into an
+    exception the rung's try/except already handles, so the measured
+    headline still reaches the JSON line."""
+
+
+def _ab_guard(fn, seconds=None):
+    seconds = seconds or int(os.environ.get("B20_AB_TIMEOUT", "300"))
+
+    def _raise(signum, frame):
+        raise _ABTimeout(f"A/B rung timed out after {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -368,9 +392,9 @@ def main():
     try:
         if _backend_suspect():
             raise RuntimeError("skipped: backend suspect after OOMs")
-        t16, r16 = run_once(probes_used, batch_q["bq"],
-                            rerank_dtype="float16",
-                            rerank_extra=rerank_extra_used)
+        t16, r16 = _ab_guard(lambda: run_once(
+            probes_used, batch_q["bq"], rerank_dtype="float16",
+            rerank_extra=rerank_extra_used))
         print(f"# rerank_f16: {t16:.3f}s recall {r16:.4f}", file=sys.stderr,
               flush=True)
         if r16 >= RECALL_GATE and t16 < t_search:
@@ -384,9 +408,11 @@ def main():
     try:
         if _backend_suspect():
             raise RuntimeError("skipped: backend suspect after OOMs")
-        twl, rwl = run_once(probes_used, batch_q["bq"],
-                            rerank_dtype=rerank_dtype_used, worklist=True,
-                            rerank_extra=rerank_extra_used)
+        if os.environ.get("B20_SKIP_WL"):
+            raise RuntimeError("skipped: B20_SKIP_WL")
+        twl, rwl = _ab_guard(lambda: run_once(
+            probes_used, batch_q["bq"], rerank_dtype=rerank_dtype_used,
+            worklist=True, rerank_extra=rerank_extra_used))
         print(f"# worklist: {twl:.3f}s recall {rwl:.4f}", file=sys.stderr,
               flush=True)
         if rwl >= RECALL_GATE and twl < t_search:
@@ -401,10 +427,10 @@ def main():
     try:
         if _backend_suspect():
             raise RuntimeError("skipped: backend suspect after OOMs")
-        tpr, rpr = run_once(probes_used, batch_q["bq"],
-                            rerank_dtype=rerank_dtype_used,
-                            worklist=worklist_used,
-                            rerank_extra=rerank_extra_used, pair=True)
+        tpr, rpr = _ab_guard(lambda: run_once(
+            probes_used, batch_q["bq"], rerank_dtype=rerank_dtype_used,
+            worklist=worklist_used, rerank_extra=rerank_extra_used,
+            pair=True))
         print(f"# pair: {tpr:.3f}s recall {rpr:.4f}", file=sys.stderr,
               flush=True)
         if rpr >= RECALL_GATE and tpr < t_search:
@@ -419,11 +445,10 @@ def main():
         if _backend_suspect():
             break
         try:
-            tm, rm = run_once(probes_used, batch_q["bq"],
-                              rerank_dtype=rerank_dtype_used,
-                              probe_mass=mass, worklist=worklist_used,
-                              rerank_extra=rerank_extra_used,
-                              pair=pair_used)
+            tm, rm = _ab_guard(lambda: run_once(
+                probes_used, batch_q["bq"], rerank_dtype=rerank_dtype_used,
+                probe_mass=mass, worklist=worklist_used,
+                rerank_extra=rerank_extra_used, pair=pair_used))
         except Exception as e:
             _note_failure(e)
             print(f"# probe_mass={mass} failed: {e}", file=sys.stderr,
@@ -443,11 +468,10 @@ def main():
         if _backend_suspect():
             break
         try:
-            te, re_ = run_once(probes_used, batch_q["bq"],
-                               rerank_dtype=rerank_dtype_used,
-                               probe_mass=probe_mass_used,
-                               worklist=worklist_used, rerank_extra=extra,
-                               pair=pair_used)
+            te, re_ = _ab_guard(lambda: run_once(
+                probes_used, batch_q["bq"], rerank_dtype=rerank_dtype_used,
+                probe_mass=probe_mass_used, worklist=worklist_used,
+                rerank_extra=extra, pair=pair_used))
         except Exception as e:  # noqa: BLE001 — keep the current depth
             _note_failure(e)
             print(f"# rerank_extra={extra} failed: {e}", file=sys.stderr,
@@ -466,12 +490,10 @@ def main():
     try:
         if _backend_suspect():
             raise RuntimeError("skipped: backend suspect after OOMs")
-        tpool, rpool = run_once(probes_used, batch_q["bq"],
-                                rerank_dtype=rerank_dtype_used,
-                                probe_mass=probe_mass_used,
-                                worklist=worklist_used,
-                                rerank_extra=rerank_extra_used, pool=True,
-                                pair=pair_used)
+        tpool, rpool = _ab_guard(lambda: run_once(
+            probes_used, batch_q["bq"], rerank_dtype=rerank_dtype_used,
+            probe_mass=probe_mass_used, worklist=worklist_used,
+            rerank_extra=rerank_extra_used, pool=True, pair=pair_used))
         print(f"# pallas_pool: {tpool:.3f}s recall {rpool:.4f}",
               file=sys.stderr, flush=True)
         if rpool >= RECALL_GATE and tpool < t_search:
