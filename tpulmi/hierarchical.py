@@ -258,10 +258,8 @@ class HierarchicalIndex(LearnedIndex):
                 # RESOURCE_EXHAUSTed the 15.7 GB slab upload that
                 # restarts=1 survives). Demote each loser to host NOW.
                 if best is None or score > best[0]:
-                    if best is not None:
+                    if best is not None:  # demote the dethroned winner
                         best[1].params = jax.device_get(best[1].params)
-                        best = (best[0], best[1],
-                                np.asarray(jax.device_get(best[2])))
                     best = (score, cand, cents)
                 else:
                     cand.params = jax.device_get(cand.params)
