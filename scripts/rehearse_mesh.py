@@ -106,29 +106,47 @@ def main():
             os.remove(gt_path + ".part")
 
     mesh = make_mesh(8, ("buckets",))
-    hi = HierarchicalIndex(HierarchicalConfig(
-        n_groups=N_GROUPS,
-        outer_epochs=6,
-        outer_lr=0.003,
-        calibrate_budget=0,
-        router_restarts=int(os.environ.get("RM_RESTARTS", 1)),
-        inner=IndexConfig(
-            n_categories=N_CAT_INNER, epochs=8, lr=0.003, model_type="MLP-5",
-            batch_size=4096, seed=SEED,
-            # the real kernel alignment (Pallas data block): ~1% padding at
-            # 100k-row buckets, and it keeps every per-shard store
-            # kernel-eligible exactly as the 40M rung is
-            row_align=1024,
-        ),
-    ))
-    t_build = time.perf_counter()
-    hi.build_with_host_store(
-        ds["data_nav"].astype(ml_dtypes.bfloat16), ds["data_search"],
-        normalized=True, store_dtype="int4", mesh=mesh,
-    )
-    t_build = time.perf_counter() - t_build
-    calib = hi.calibrate_outer_weight(ds["data_nav"][:], probe_budget=8)
-    print(f"# build {t_build:.0f}s calib {calib}", file=sys.stderr, flush=True)
+    # Checkpoint the built index: the 4M build is ~1.5 h of single-core
+    # CPU — a depth/probe re-sweep must not pay it again (the corpus stays
+    # a disk memmap, so the checkpoint records its path instead of bytes).
+    ckpt = os.path.join(os.path.abspath(CACHE),
+                        f"rehearse_ckpt_n{N}_g{N_GROUPS}x{N_CAT_INNER}")
+    if os.path.isdir(ckpt):
+        t_build = time.perf_counter()
+        hi = HierarchicalIndex.load(ckpt)
+        hi.shard(mesh)
+        t_build = time.perf_counter() - t_build
+        calib = {"best": float(getattr(hi.built.classifier.model,
+                                       "outer_weight", 1.0))}
+        print(f"# loaded checkpoint in {t_build:.0f}s (outer_weight="
+              f"{calib['best']})", file=sys.stderr, flush=True)
+    else:
+        hi = HierarchicalIndex(HierarchicalConfig(
+            n_groups=N_GROUPS,
+            outer_epochs=6,
+            outer_lr=0.003,
+            calibrate_budget=0,
+            router_restarts=int(os.environ.get("RM_RESTARTS", 1)),
+            inner=IndexConfig(
+                n_categories=N_CAT_INNER, epochs=8, lr=0.003,
+                model_type="MLP-5",
+                batch_size=4096, seed=SEED,
+                # the real kernel alignment (Pallas data block): ~1% padding
+                # at 100k-row buckets, and it keeps every per-shard store
+                # kernel-eligible exactly as the 40M rung is
+                row_align=1024,
+            ),
+        ))
+        t_build = time.perf_counter()
+        hi.build_with_host_store(
+            ds["data_nav"].astype(ml_dtypes.bfloat16), ds["data_search"],
+            normalized=True, store_dtype="int4", mesh=mesh,
+        )
+        t_build = time.perf_counter() - t_build
+        calib = hi.calibrate_outer_weight(ds["data_nav"][:], probe_budget=8)
+        print(f"# build {t_build:.0f}s calib {calib}", file=sys.stderr,
+              flush=True)
+        hi.save(ckpt)
 
     import jax.numpy as jnp
     qn_d = jnp.asarray(qn)
@@ -154,10 +172,16 @@ def main():
           file=sys.stderr, flush=True)
 
     # ---- recall sweep on the sharded XLA backend (full query set) ----
-    sweep = []
-    headline = None
-    for probes in (2, 4, 6, 8, 12):
-        scfg = SearchConfig(k=K, n_buckets=probes, backend="xla")
+    # The candidate-cut plateau scales with BUCKET depth: at 102k-row
+    # buckets the int4 default rerank depth (30) saturates under the gate
+    # with router containment ~0.95 (first 4M run: 0.8859 @ 12 probes) —
+    # the same probe-independent signature the 40M chip rung measured at
+    # 41k-row buckets. Mirror the bench's RR_UP ladder: when the probe
+    # sweep saturates, escalate the exact-rerank depth at the deepest
+    # budget, then walk probes back down while the gate holds.
+    def run_probe(probes, extra=None):
+        scfg = SearchConfig(k=K, n_buckets=probes, backend="xla",
+                            rerank_extra=extra)
         t = time.perf_counter()
         _, ids = hi.search(qn_d, qs_d, n_buckets=probes, k=K,
                            search_config=scfg, queries_search_host=q_host)
@@ -165,19 +189,45 @@ def main():
         recall = float(np.mean([
             len(set(ids[i]) & set(gt_ids[i])) / K for i in range(N_QUERIES)
         ]))
+        print(f"# probes={probes} extra={extra or 'default'}: recall "
+              f"{recall:.4f} ({t:.1f}s cpu)", file=sys.stderr, flush=True)
+        return recall
+
+    sweep = []
+    headline = None
+    extra_used = None
+    for probes in (2, 4, 6, 8, 12):
+        recall = run_probe(probes)
         sweep.append({"probes": probes, "recall_at_10": round(recall, 4)})
-        print(f"# probes={probes}: recall {recall:.4f} ({t:.1f}s cpu)",
-              file=sys.stderr, flush=True)
         if recall >= RECALL_GATE and headline is None:
             headline = (probes, recall)
             break  # CPU minutes per budget; the gate point is the result
+    if headline is None:
+        deepest = sweep[-1]["probes"]
+        for extra in (60, 100):
+            recall = run_probe(deepest, extra)
+            sweep.append({"probes": deepest, "rerank_extra": extra,
+                          "recall_at_10": round(recall, 4)})
+            if recall >= RECALL_GATE:
+                headline, extra_used = (deepest, recall), extra
+                break
+        if headline is not None:
+            for probes in (8, 6, 4):  # cheapest gate point at the depth
+                recall = run_probe(probes, extra_used)
+                sweep.append({"probes": probes, "rerank_extra": extra_used,
+                              "recall_at_10": round(recall, 4)})
+                if recall >= RECALL_GATE:
+                    headline = (probes, recall)
+                else:
+                    break
     ok = headline is not None
     gate_probes = headline[0] if ok else sweep[-1]["probes"]
 
     # ---- dispatch-ahead sharded stream: result parity with search ----
     stream_ok = None
     try:
-        scfg = SearchConfig(k=K, n_buckets=gate_probes, backend="xla")
+        scfg = SearchConfig(k=K, n_buckets=gate_probes, backend="xla",
+                            rerank_extra=extra_used)
         _, want = hi.search(qn_d, qs_d, n_buckets=gate_probes, k=K,
                             search_config=scfg, queries_search_host=q_host)
         got = None
@@ -252,6 +302,7 @@ def main():
         "n_rows": N,
         "n_queries": N_QUERIES,
         "probes": headline[0] if ok else None,
+        "rerank_extra": extra_used,
         "n_global_buckets": n_buckets_global,
         "rows_per_bucket_mean": round(rpb_mean),
         "rows_per_bucket_max": int(counts.max()),
